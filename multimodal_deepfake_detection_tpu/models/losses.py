@@ -1,0 +1,113 @@
+"""Loss zoo — every objective the reference trains with, as pure functions.
+
+Sources (behavioral, per SURVEY.md §2):
+* BCE on sigmoid outputs — ``/root/reference/train_audio.py:20``.
+* BCE-with-logits + label smoothing — ``/root/reference/train_au_patch.py:203-211``
+  (smoothing 0.1; a dead variant used 0.5, ``train_visual.py:45-53``).
+* Focal loss — dead variant ``train_visual.py:55-66``.
+* Class-balanced focal (Cui et al. effective-number weights) on ArcFace
+  logits — ``/root/reference/train_au_face.py:445-458``.
+* Cross-entropy on ArcFace margin logits — ``train_visual.py:532``.
+* Cross-modal regularizers: MSE alignment of pooled streams + temporal
+  smoothness of token sequences — ``train_au_face.py:669-674``.
+
+All reductions are means (matching torch defaults); everything is fp32
+internally so bf16 activations do not erode the loss.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _f32(*xs):
+    return tuple(x.astype(jnp.float32) for x in xs)
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Binary cross-entropy on probabilities (torch ``nn.BCELoss``)."""
+    p, t = _f32(probs, targets)
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+
+
+def bce_with_logits_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable BCE on logits (torch ``nn.BCEWithLogitsLoss``)."""
+    z, t = _f32(logits, targets)
+    return jnp.mean(jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+
+def label_smoothing_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float = 0.1) -> jnp.ndarray:
+    """targets -> targets*(1-s) + 0.5*s, then BCE-with-logits."""
+    t = targets.astype(jnp.float32) * (1 - smoothing) + 0.5 * smoothing
+    return bce_with_logits_loss(logits, t)
+
+
+def focal_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """Binary focal loss on logits (dead-variant parity, train_visual.py:55-66)."""
+    z, t = _f32(logits, targets)
+    ce = jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    p = jax.nn.sigmoid(z)
+    pt = p * t + (1 - p) * (1 - t)
+    a_t = alpha * t + (1 - alpha) * (1 - t)
+    return jnp.mean(a_t * (1 - pt) ** gamma * ce)
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    class_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Mean CE over integer labels; optional per-class weights (torch semantics:
+    weighted sum divided by the sum of the sample weights)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    if class_weights is None:
+        return jnp.mean(nll)
+    w = class_weights.astype(jnp.float32)[labels]
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def cb_focal_class_weights(samples_per_cls: Sequence[int], beta: float = 0.9999) -> jnp.ndarray:
+    """Class-balanced 'effective number' weights, normalized to sum to C."""
+    counts = jnp.asarray(samples_per_cls, jnp.float32)
+    effective_num = 1.0 - jnp.power(beta, counts)
+    weights = (1.0 - beta) / effective_num
+    return weights / jnp.sum(weights) * counts.shape[0]
+
+
+def cb_focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Class-balanced focal loss on (ArcFace) logits.
+
+    Per-sample: ``(1 - exp(-ce))**gamma * ce`` where ``ce`` is *weighted*
+    cross-entropy — exactly the reference composition
+    (``/root/reference/train_au_face.py:452-458``: per-sample weighted CE via
+    ``F.cross_entropy(..., weight=...)``, then plain mean of the focal terms).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    ce = class_weights.astype(jnp.float32)[labels] * nll
+    pt = jnp.exp(-ce)
+    return jnp.mean((1 - pt) ** gamma * ce)
+
+
+def align_mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cross-modal pooled-feature alignment (train_au_face.py:670)."""
+    a, b = _f32(a, b)
+    return jnp.mean((a - b) ** 2)
+
+
+def temporal_smoothness_loss(tokens: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared first difference along the token/time axis (B, T, D)."""
+    t = tokens.astype(jnp.float32)
+    if t.shape[1] <= 1:
+        return jnp.zeros((), jnp.float32)
+    return jnp.mean((t[:, 1:] - t[:, :-1]) ** 2)

@@ -1,0 +1,152 @@
+"""Primitive-op parity vs torch (conv/BN/pool/linear/LSTM/resize)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_deepfake_detection_tpu import ops
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def _nhwc(x_nchw):
+    return jnp.asarray(x_nchw.numpy().transpose(0, 2, 3, 1))
+
+
+def _hwio(w_oihw):
+    return jnp.asarray(w_oihw.numpy().transpose(2, 3, 1, 0))
+
+
+def test_conv2d_matches_torch():
+    torch.manual_seed(0)
+    x = torch.randn(2, 5, 17, 19)
+    w = torch.randn(7, 5, 3, 3)
+    ref = TF.conv2d(x, w, stride=2, padding=1).numpy().transpose(0, 2, 3, 1)
+    out = ops.conv2d({"w": _hwio(w)}, _nhwc(x), stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_depthwise_conv_matches_torch():
+    torch.manual_seed(1)
+    x = torch.randn(2, 6, 11, 13)
+    w = torch.randn(6, 1, 3, 3)
+    ref = TF.conv2d(x, w, stride=1, padding=1, groups=6).numpy().transpose(0, 2, 3, 1)
+    out = ops.conv2d({"w": _hwio(w)}, _nhwc(x), stride=1, padding=1, groups=6)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_separable_conv_matches_torch():
+    torch.manual_seed(2)
+    x = torch.randn(2, 4, 9, 9)
+    dw = torch.randn(4, 1, 3, 3)
+    pw = torch.randn(8, 4, 1, 1)
+    ref = TF.conv2d(TF.conv2d(x, dw, padding=1, groups=4), pw).numpy().transpose(0, 2, 3, 1)
+    params = {"depthwise": {"w": _hwio(dw)}, "pointwise": {"w": _hwio(pw)}}
+    out = ops.separable_conv2d(params, _nhwc(x), padding=1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=RTOL, atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_batch_norm_matches_torch(train):
+    torch.manual_seed(3)
+    bn = torch.nn.BatchNorm2d(5)
+    bn.weight.data.uniform_(0.5, 1.5)
+    bn.bias.data.uniform_(-0.5, 0.5)
+    bn.running_mean.data.uniform_(-1, 1)
+    bn.running_var.data.uniform_(0.5, 2.0)
+    x = torch.randn(4, 5, 7, 7)
+
+    params = {"scale": jnp.asarray(bn.weight.detach().numpy()), "bias": jnp.asarray(bn.bias.detach().numpy())}
+    # capture running stats BEFORE the torch forward mutates them
+    state = {
+        "mean": jnp.asarray(bn.running_mean.numpy().copy()),
+        "var": jnp.asarray(bn.running_var.numpy().copy()),
+    }
+
+    bn.train(train)
+    with torch.no_grad():
+        ref = bn(x).numpy().transpose(0, 2, 3, 1)
+
+    out, new_state = ops.batch_norm(params, state, _nhwc(x), train=train)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    if train:
+        np.testing.assert_allclose(np.asarray(new_state["mean"]), bn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_state["var"]), bn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_max_pool_matches_torch():
+    torch.manual_seed(4)
+    x = torch.randn(2, 3, 15, 15)
+    ref = TF.max_pool2d(x, 3, 2, 1).numpy().transpose(0, 2, 3, 1)
+    out = ops.max_pool2d(_nhwc(x), 3, 2, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_linear_matches_torch():
+    torch.manual_seed(5)
+    lin = torch.nn.Linear(11, 7)
+    x = torch.randn(3, 11)
+    with torch.no_grad():
+        ref = lin(x).numpy()
+    p = {"w": jnp.asarray(lin.weight.detach().numpy().T), "b": jnp.asarray(lin.bias.detach().numpy())}
+    out = ops.linear(p, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_lstm_matches_torch():
+    torch.manual_seed(6)
+    lstm = torch.nn.LSTM(input_size=9, hidden_size=6, num_layers=1, batch_first=True)
+    x = torch.randn(3, 5, 9)
+    with torch.no_grad():
+        ref_out, (ref_h, ref_c) = lstm(x)
+    from multimodal_deepfake_detection_tpu.utils.torch_port import lstm_params_from_torch
+
+    sd = {f"lstm.{k}": v for k, v in lstm.state_dict().items()}
+    params = lstm_params_from_torch(sd, "lstm", layer=0)
+    out, (h, c) = ops.lstm_apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), ref_h[0].numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), ref_c[0].numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_bilstm_matches_torch():
+    torch.manual_seed(7)
+    lstm = torch.nn.LSTM(input_size=4, hidden_size=3, num_layers=1, batch_first=True, bidirectional=True)
+    x = torch.randn(2, 6, 4)
+    with torch.no_grad():
+        ref_out, _ = lstm(x)
+    sd = {f"lstm.{k}": v for k, v in lstm.state_dict().items()}
+    from multimodal_deepfake_detection_tpu.utils.torch_port import lstm_params_from_torch
+
+    fwd = lstm_params_from_torch(sd, "lstm", layer=0)
+    bwd = {
+        "w_ih": jnp.asarray(sd["lstm.weight_ih_l0_reverse"].numpy().T),
+        "w_hh": jnp.asarray(sd["lstm.weight_hh_l0_reverse"].numpy().T),
+        "b_ih": jnp.asarray(sd["lstm.bias_ih_l0_reverse"].numpy()),
+        "b_hh": jnp.asarray(sd["lstm.bias_hh_l0_reverse"].numpy()),
+    }
+    out = ops.bilstm_apply({"fwd": fwd, "bwd": bwd}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_select_last_step():
+    from multimodal_deepfake_detection_tpu.ops.lstm import select_last_step
+
+    out = jnp.arange(24, dtype=jnp.float32).reshape(2, 4, 3)
+    np.testing.assert_array_equal(np.asarray(select_last_step(out)), np.asarray(out[:, -1]))
+    sel = select_last_step(out, lengths=jnp.array([2, 4]))
+    np.testing.assert_array_equal(np.asarray(sel[0]), np.asarray(out[0, 1]))
+    np.testing.assert_array_equal(np.asarray(sel[1]), np.asarray(out[1, 3]))
+
+
+def test_resize_bilinear_matches_torch_interpolate():
+    """The audio path's (13,1)->(64,64) upsample must match F.interpolate
+    align_corners=False (/root/reference/XceptionLSTMA.py:46)."""
+    torch.manual_seed(8)
+    x = torch.randn(5, 3, 13, 1)
+    ref = TF.interpolate(x, size=(64, 64), mode="bilinear", align_corners=False).numpy().transpose(0, 2, 3, 1)
+    out = ops.resize_bilinear(_nhwc(x), (64, 64))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
