@@ -1,0 +1,4 @@
+from .datasets import NpyFolderDataset, label_from_filename
+from .collate import pad_collate, bucket_length
+from .loader import DataLoader, make_weighted_sampler
+from .synthetic import make_face_npy_tree, make_audio_npy_tree, make_au_patch_tree

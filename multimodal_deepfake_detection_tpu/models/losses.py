@@ -26,33 +26,42 @@ def _f32(*xs):
     return tuple(x.astype(jnp.float32) for x in xs)
 
 
-def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def _wmean(values: jnp.ndarray, sample_weight: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean, or weighted mean when ``sample_weight`` is given (used to mask
+    batch-padding rows under static shapes)."""
+    if sample_weight is None:
+        return jnp.mean(values)
+    w = sample_weight.astype(jnp.float32).reshape(values.shape)
+    return jnp.sum(w * values) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12, *, sample_weight=None) -> jnp.ndarray:
     """Binary cross-entropy on probabilities (torch ``nn.BCELoss``)."""
     p, t = _f32(probs, targets)
     p = jnp.clip(p, eps, 1.0 - eps)
-    return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+    return _wmean(-(t * jnp.log(p) + (1 - t) * jnp.log(1 - p)), sample_weight)
 
 
-def bce_with_logits_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def bce_with_logits_loss(logits: jnp.ndarray, targets: jnp.ndarray, *, sample_weight=None) -> jnp.ndarray:
     """Numerically-stable BCE on logits (torch ``nn.BCEWithLogitsLoss``)."""
     z, t = _f32(logits, targets)
-    return jnp.mean(jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z))))
+    return _wmean(jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z))), sample_weight)
 
 
-def label_smoothing_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float = 0.1) -> jnp.ndarray:
+def label_smoothing_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, smoothing: float = 0.1, *, sample_weight=None) -> jnp.ndarray:
     """targets -> targets*(1-s) + 0.5*s, then BCE-with-logits."""
     t = targets.astype(jnp.float32) * (1 - smoothing) + 0.5 * smoothing
-    return bce_with_logits_loss(logits, t)
+    return bce_with_logits_loss(logits, t, sample_weight=sample_weight)
 
 
-def focal_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+def focal_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, alpha: float = 0.25, gamma: float = 2.0, *, sample_weight=None) -> jnp.ndarray:
     """Binary focal loss on logits (dead-variant parity, train_visual.py:55-66)."""
     z, t = _f32(logits, targets)
     ce = jnp.maximum(z, 0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z)))
     p = jax.nn.sigmoid(z)
     pt = p * t + (1 - p) * (1 - t)
     a_t = alpha * t + (1 - alpha) * (1 - t)
-    return jnp.mean(a_t * (1 - pt) ** gamma * ce)
+    return _wmean(a_t * (1 - pt) ** gamma * ce, sample_weight)
 
 
 def cross_entropy_loss(
@@ -60,14 +69,17 @@ def cross_entropy_loss(
     labels: jnp.ndarray,
     *,
     class_weights: Optional[jnp.ndarray] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Mean CE over integer labels; optional per-class weights (torch semantics:
     weighted sum divided by the sum of the sample weights)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
-    if class_weights is None:
-        return jnp.mean(nll)
-    w = class_weights.astype(jnp.float32)[labels]
+    w = jnp.ones_like(nll)
+    if class_weights is not None:
+        w = w * class_weights.astype(jnp.float32)[labels]
+    if sample_weight is not None:
+        w = w * sample_weight.astype(jnp.float32).reshape(w.shape)
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
@@ -84,6 +96,8 @@ def cb_focal_loss(
     labels: jnp.ndarray,
     class_weights: jnp.ndarray,
     gamma: float = 2.0,
+    *,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Class-balanced focal loss on (ArcFace) logits.
 
@@ -96,7 +110,7 @@ def cb_focal_loss(
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
     ce = class_weights.astype(jnp.float32)[labels] * nll
     pt = jnp.exp(-ce)
-    return jnp.mean((1 - pt) ** gamma * ce)
+    return _wmean((1 - pt) ** gamma * ce, sample_weight)
 
 
 def align_mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

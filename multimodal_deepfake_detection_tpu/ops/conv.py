@@ -199,7 +199,9 @@ def max_pool2d(x: jnp.ndarray, kernel_size=3, stride=2, padding=1) -> jnp.ndarra
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    neg = jnp.array(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min, x.dtype)
+    # scalar -inf init keeps the reduce_window in the select-and-scatter form
+    # XLA recognizes (and JAX can reverse-differentiate)
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

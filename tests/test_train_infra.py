@@ -1,0 +1,166 @@
+"""Train-infrastructure unit tests: data, optim, schedules, EMA, checkpoint."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_deepfake_detection_tpu.core.checkpoint import (
+    load_bundle,
+    load_state,
+    merge_params,
+    save_bundle,
+    save_state,
+)
+from multimodal_deepfake_detection_tpu.data import (
+    DataLoader,
+    NpyFolderDataset,
+    make_face_npy_tree,
+    make_audio_npy_tree,
+    pad_collate,
+)
+from multimodal_deepfake_detection_tpu.train import (
+    EmaState,
+    PlateauScheduler,
+    ema_init,
+    ema_update,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+
+
+def test_dataset_label_contract(tmp_path):
+    root = make_face_npy_tree(str(tmp_path / "faces"), n_per_class=2, frames=3, size=8)
+    ds = NpyFolderDataset(root + "/train", kind="video")
+    assert len(ds) == 4
+    assert sorted(ds.all_labels) == [0, 0, 1, 1]
+    x, y = ds[0]
+    assert x.shape == (3, 8, 8, 3) and x.dtype == np.float32
+    assert 0.0 <= x.min() and x.max() <= 1.0
+
+
+def test_audio_dataset_channel_triple(tmp_path):
+    root = make_audio_npy_tree(str(tmp_path / "aud"), n_per_class=1, frames=5)
+    ds = NpyFolderDataset(root + "/train", kind="audio")
+    x, y = ds[0]
+    assert x.shape == (5, 3, 13)
+    np.testing.assert_array_equal(x[:, 0], x[:, 2])
+
+
+def test_pad_collate_buckets_and_batch_pad():
+    items = [(np.ones((3, 2), np.float32), 1), (np.ones((5, 2), np.float32), 0)]
+    batch, labels, lengths = pad_collate(items, buckets=(4, 8), batch_size=4)
+    assert batch.shape == (4, 8, 2)
+    np.testing.assert_array_equal(lengths, [3, 5, 0, 0])
+    np.testing.assert_array_equal(labels[:2], [1, 0])
+    assert batch[0, 3:].sum() == 0  # zero padding
+
+
+def test_weighted_loader_balances(tmp_path):
+    root = str(tmp_path / "im")
+    import os
+
+    os.makedirs(root)
+    for i in range(9):
+        np.save(f"{root}/fake_{i}.npy", np.zeros((2, 4, 4, 3), np.uint8))
+    np.save(f"{root}/real_0.npy", np.zeros((2, 4, 4, 3), np.uint8))
+    ds = NpyFolderDataset(root, kind="video")
+    loader = DataLoader(ds, 10, weighted=True, seed=0, prefetch=0)
+    labels = []
+    for _ in range(20):
+        for b, l, s in loader:
+            labels.extend(l.tolist())
+    frac_real = np.mean(np.asarray(labels) == 0)
+    assert 0.3 < frac_real < 0.7  # balanced despite 9:1 imbalance
+
+
+def test_plateau_matches_torch():
+    torch.manual_seed(0)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, mode="min", factor=0.5, patience=2)
+    mine = PlateauScheduler(1.0, factor=0.5, patience=2)
+    metrics = [1.0, 0.9, 0.95, 0.94, 0.93, 0.93, 0.5, 0.6, 0.6, 0.6, 0.6]
+    for m in metrics:
+        sched.step(m)
+        my_lr = mine.step(m)
+        assert my_lr == pytest.approx(opt.param_groups[0]["lr"]), f"at metric {m}"
+
+
+def test_ema_matches_torch_averaged_model():
+    torch.manual_seed(1)
+    lin = torch.nn.Linear(3, 2)
+    avg = torch.optim.swa_utils.AveragedModel(lin)
+    ema = ema_init({"w": jnp.asarray(lin.weight.detach().numpy())})
+    for step in range(4):
+        with torch.no_grad():
+            lin.weight += 0.1 * (step + 1)
+        avg.update_parameters(lin)
+        ema = ema_update(ema, {"w": jnp.asarray(lin.weight.detach().numpy())})
+    np.testing.assert_allclose(
+        np.asarray(ema.params["w"]), avg.module.weight.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_optimizer_lr_get_set():
+    tx = make_optimizer("adam", 1e-3, grad_clip=1.0, accum_steps=2)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    assert get_learning_rate(st) == pytest.approx(1e-3)
+    st2 = set_learning_rate(st, 5e-4)
+    assert get_learning_rate(st2) == pytest.approx(5e-4)
+    # still usable
+    upd, _ = tx.update({"w": jnp.ones((3,))}, st2, params)
+
+
+def test_adam_l2_matches_torch():
+    """make_optimizer('adam', wd) must equal torch Adam(weight_decay=wd)."""
+    torch.manual_seed(2)
+    w0 = torch.randn(4)
+    p = torch.nn.Parameter(w0.clone())
+    opt = torch.optim.Adam([p], lr=1e-2, weight_decay=0.1)
+    g = torch.randn(4)
+
+    tx = make_optimizer("adam", 1e-2, weight_decay=0.1)
+    params = {"w": jnp.asarray(w0.numpy())}
+    st = tx.init(params)
+    import optax
+
+    for _ in range(3):
+        p.grad = g.clone()
+        opt.step()
+        upd, st = tx.update({"w": jnp.asarray(g.numpy())}, st, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), p.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_bundle_roundtrip_and_flexible_merge(tmp_path):
+    params = {"a": {"b": jnp.arange(6.0).reshape(2, 3), "c": [jnp.zeros(2), jnp.ones(3)]}}
+    path = str(tmp_path / "bundle.npz")
+    save_bundle(path, {"model": params, "meta": {"best_auc": jnp.asarray(0.9)}})
+    loaded = load_bundle(path)
+    np.testing.assert_array_equal(np.asarray(loaded["model"]["a"]["b"]), np.arange(6.0).reshape(2, 3))
+    assert isinstance(loaded["model"]["a"]["c"], list)
+    assert float(loaded["meta"]["best_auc"]) == pytest.approx(0.9)
+
+    init = {"a": {"b": jnp.zeros((2, 3)), "c": [jnp.full(2, 7.0), jnp.full(3, 7.0)], "extra": jnp.ones(1)}}
+    merged = merge_params(init, loaded["model"], strict=False)
+    np.testing.assert_array_equal(np.asarray(merged["a"]["b"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(np.asarray(merged["a"]["extra"]), np.ones(1))  # kept from init
+    with pytest.raises(KeyError):
+        merge_params(init, loaded["model"], strict=True)
+
+
+def test_state_snapshot_roundtrip(tmp_path):
+    from multimodal_deepfake_detection_tpu.train import TrainState
+
+    tx = make_optimizer("adam", 1e-3)
+    params = {"w": jnp.arange(3.0)}
+    state = TrainState(jnp.asarray(5), params, {"bn": jnp.zeros(2)}, tx.init(params), None)
+    path = str(tmp_path / "state.npz")
+    save_state(path, state)
+    restored = load_state(path, like=state)
+    assert int(restored.step) == 5
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(3.0))
