@@ -1,0 +1,95 @@
+"""Inference-time batch-norm folding for Xception.
+
+In eval mode every BN is an affine map with fixed (running) statistics, so it
+folds exactly into the preceding convolution:
+
+    w' = w * scale/sqrt(var+eps)        (per output channel)
+    b' = bias - mean * scale/sqrt(var+eps)
+
+This removes all 38 BN ops (and their fp32 cast round-trips through HBM) from
+the serving path — the convs land on the MXU with their epilogue reduced to a
+bias-add + ReLU that XLA fuses in. Numerically identical to the unfolded
+eval-mode forward at fp32 (tested in tests/test_fold.py); used by bench.py
+and the eval CLIs. The train path keeps live BN.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv2d, global_avg_pool, linear, max_pool2d
+from .xception import XCEPTION_BLOCK_SPECS
+
+_EPS = 1e-5
+
+
+def _fold(conv_params, bn_params, bn_state):
+    scale_eff = bn_params["scale"].astype(jnp.float32) * jax.lax.rsqrt(bn_state["var"] + _EPS)
+    w = conv_params["w"].astype(jnp.float32) * scale_eff  # broadcast over O (last axis)
+    b = bn_params["bias"].astype(jnp.float32) - bn_state["mean"] * scale_eff
+    return {"w": w, "b": b}
+
+
+def _fold_sep(sep_params, bn_params, bn_state):
+    return {
+        "depthwise": {"w": sep_params["depthwise"]["w"]},
+        "pointwise": _fold(sep_params["pointwise"], bn_params, bn_state),
+    }
+
+
+def fold_xception_bn(params, state):
+    """Fold (params, bn_state) into a BN-free inference param tree."""
+    out = {
+        "conv1": _fold(params["conv1"], params["bn1"], state["bn1"]),
+        "conv2": _fold(params["conv2"], params["bn2"], state["bn2"]),
+        "blocks": [],
+        "conv3": _fold_sep(params["conv3"], params["bn3"], state["bn3"]),
+        "conv4": _fold_sep(params["conv4"], params["bn4"], state["bn4"]),
+    }
+    for bp, bs in zip(params["blocks"], state["blocks"]):
+        fb = {
+            "units": [
+                _fold_sep(u["sep"], u["bn"], s["bn"])
+                for u, s in zip(bp["units"], bs["units"])
+            ]
+        }
+        if "skip" in bp:
+            fb["skip"] = _fold(bp["skip"]["conv"], bp["skip"]["bn"], bs["skip"]["bn"])
+        out["blocks"].append(fb)
+    if "fc" in params:
+        out["fc"] = params["fc"]
+    return out
+
+
+def _sep_apply(p, x, compute_dtype):
+    c = x.shape[-1]
+    x = conv2d({"w": p["depthwise"]["w"]}, x, stride=1, padding=1, groups=c, compute_dtype=compute_dtype)
+    return conv2d(p["pointwise"], x, stride=1, padding=0, compute_dtype=compute_dtype)
+
+
+def folded_xception_apply(params, x, *, compute_dtype=None, features_only: bool = False):
+    """BN-free forward; mirrors models.xception.xception_apply eval mode."""
+    h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype))
+    h = jax.nn.relu(conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype))
+
+    for spec, bp in zip(XCEPTION_BLOCK_SPECS, params["blocks"]):
+        _, _, _, stride, start_with_relu, _ = spec
+        inp = h
+        for i, unit in enumerate(bp["units"]):
+            if i > 0 or start_with_relu:
+                h = jax.nn.relu(h)
+            h = _sep_apply(unit, h, compute_dtype)
+        if stride != 1:
+            h = max_pool2d(h, 3, stride, 1)
+        if "skip" in bp:
+            skip = conv2d(bp["skip"], inp, stride=stride, padding=0, compute_dtype=compute_dtype)
+        else:
+            skip = inp
+        h = h + skip
+
+    h = jax.nn.relu(_sep_apply(params["conv3"], h, compute_dtype))
+    h = jax.nn.relu(_sep_apply(params["conv4"], h, compute_dtype))
+    feats = global_avg_pool(h)
+    if features_only or "fc" not in params:
+        return feats
+    return linear(params["fc"], feats, compute_dtype=compute_dtype)

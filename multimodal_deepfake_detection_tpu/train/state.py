@@ -32,7 +32,8 @@ class TrainState(NamedTuple):
 
 
 def ema_init(params) -> EmaState:
-    return EmaState(jax.tree_util.tree_map(jnp.asarray, params), jnp.zeros((), jnp.int32))
+    # materialize copies — aliasing params' buffers would break donation
+    return EmaState(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params), jnp.zeros((), jnp.int32))
 
 
 def ema_update(ema: EmaState, params, *, decay: Optional[float] = None) -> EmaState:
