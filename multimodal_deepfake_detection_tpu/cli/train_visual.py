@@ -1,0 +1,181 @@
+"""Train the video-temporal model (XceptionLSTMV + ArcFace) on face npy trees.
+
+TPU-native re-design of the live ArcFace variant of
+``/root/reference/train_visual.py:436-649``: XceptionLSTMV(hidden 128) with an
+ArcFace(s=30, m=0.5) head, cross-entropy on the margin logits, Adam 1e-5 /
+weight-decay 1e-4, plateau LR (factor 0.5 / patience 3), grad-clip 1.0,
+backbone frozen for the first 3 epochs then unfrozen, probs = softmax[:, 1]
+of the margin logits, joint best-(loss AND EER) checkpointing of a
+``{model, arcface}`` bundle, early-stop patience 6, batch 4, 50 epochs.
+
+The reference's AMP autocast+GradScaler becomes bf16 compute (no loss scaling
+needed); the freeze/unfreeze flips become static gradient masks (two compiled
+step variants); eval keeps the reference quirk of applying the margin with
+labels during the per-epoch eval pass (``train_visual.py:620-622``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.checkpoint import load_state, save_bundle, save_state
+from ..core.config import parse_config
+from ..data import DataLoader, NpyFolderDataset
+from ..models.heads import (
+    arcface_apply,
+    arcface_init,
+    xception_lstm_embed,
+    xception_lstm_features,
+    xception_lstm_init,
+)
+from ..models.losses import cross_entropy_loss
+from ..parallel import auto_data_mesh, replicate, shard_batch
+from ..train import PlateauScheduler, TrainLoop, TrainState, make_optimizer
+from ..train.steps import make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class Config:
+    """train_visual configuration (defaults = reference ArcFace variant)."""
+
+    train_folder: str = "Dataset/processed/train"
+    eval_folder: str = "Dataset/processed/eval"
+    checkpoint_dir: str = "Checkpoints"
+    bundle_name: str = "XceptionLSTMV_ArcFace_Best.npz"
+    hidden_dim: int = 128
+    arcface_s: float = 30.0
+    arcface_m: float = 0.5
+    batch_size: int = 4
+    lr: float = 1e-5
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    epochs: int = 50
+    freeze_epochs: int = 3
+    eval_every: int = 1
+    early_stop_patience: int = 6
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    max_frames: int = 50
+    seed: int = 0
+    shuffle: bool = True
+    compute_dtype: str = "bfloat16"
+    buckets: Tuple[int, ...] = (25, 50)
+    mask_padding: bool = True
+    resume: Optional[str] = None
+    save_resume_state: bool = True
+
+
+def build(config: Config, train_ds=None, eval_ds=None):
+    cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    train_ds = train_ds or NpyFolderDataset(config.train_folder, kind="video", max_frames=config.max_frames)
+    eval_ds = eval_ds or NpyFolderDataset(config.eval_folder, kind="video", max_frames=config.max_frames)
+    train_loader = DataLoader(
+        train_ds, config.batch_size, shuffle=config.shuffle, seed=config.seed, buckets=config.buckets
+    )
+    eval_loader = DataLoader(eval_ds, config.batch_size, buckets=config.buckets)
+
+    rng = jax.random.PRNGKey(config.seed)
+    r1, r2 = jax.random.split(rng)
+    params, bn_state = xception_lstm_init(r1, config.hidden_dim)
+    params["arcface"] = arcface_init(r2, config.hidden_dim, 2)
+    tx = make_optimizer("adam", config.lr, weight_decay=config.weight_decay, grad_clip=config.grad_clip)
+    state = TrainState(jnp.zeros((), jnp.int32), params, bn_state, tx.init(params))
+
+    mesh = auto_data_mesh(config.batch_size)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    def _forward(params, bn_state, rng, batch, train):
+        video, labels, lengths = batch
+        feats, new_bn = xception_lstm_features(
+            params, bn_state, video, mode="video", train=train, compute_dtype=cdtype
+        )
+        emb = xception_lstm_embed(
+            params, feats, lengths=lengths if config.mask_padding else None, compute_dtype=cdtype
+        )
+        labels_i = labels.astype(jnp.int32)
+        # margin applied with labels in BOTH train and per-epoch eval passes
+        logits = arcface_apply(params["arcface"], emb, labels_i, s=config.arcface_s, m=config.arcface_m)
+        w = (lengths > 0).astype(jnp.float32)
+        loss = cross_entropy_loss(logits, labels_i, sample_weight=w)
+        probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+        return loss, new_bn, probs
+
+    def train_forward(params, bn_state, rng, batch):
+        loss, new_bn, probs = _forward(params, bn_state, rng, batch, True)
+        return loss, (new_bn, probs)
+
+    def eval_forward(params, bn_state, batch):
+        loss, _, probs = _forward(params, bn_state, None, batch, False)
+        return loss, probs
+
+    raw_train_step = make_train_step(train_forward, tx)
+    raw_eval_step = make_eval_step(eval_forward)
+
+    def train_step(state, batch, rng_seed, epoch):
+        frozen = ("backbone",) if epoch < config.freeze_epochs else ()
+        batch = shard_batch(mesh, batch) if mesh is not None else batch
+        return raw_train_step(state, batch, rng_seed, frozen)
+
+    def eval_step(state, batch):
+        batch = shard_batch(mesh, batch) if mesh is not None else batch
+        return raw_eval_step(state, batch)
+
+    return train_loader, eval_loader, state, train_step, eval_step
+
+
+def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
+    config = parse_config(Config, argv, prog="train_visual")
+    train_loader, eval_loader, state, train_step, eval_step = build(config, train_ds, eval_ds)
+
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    best_path = os.path.join(config.checkpoint_dir, config.bundle_name)
+    resume_path = os.path.join(config.checkpoint_dir, "train_visual_state.npz")
+
+    if config.resume:
+        state = load_state(config.resume, like=state)
+        log(f"resumed train state from {config.resume} (step {int(state.step)})")
+
+    counts = train_loader.dataset.class_counts()
+    log(f"class counts: real={counts[0]} fake={counts[1]}")
+
+    def on_best(state, result):
+        # {model, arcface} bundle, joint best loss+EER (train_visual.py:629-637)
+        model_params = {k: v for k, v in state.params.items() if k != "arcface"}
+        save_bundle(best_path, {"model": model_params, "arcface": state.params["arcface"]})
+        log(f"new best model saved -> {best_path}")
+
+    def on_epoch(state, result):
+        if config.save_resume_state:
+            save_state(resume_path, state)
+
+    loop = TrainLoop(
+        train_step=train_step,
+        eval_step=eval_step,
+        state=state,
+        train_loader=train_loader,
+        eval_loader=eval_loader,
+        num_epochs=config.epochs,
+        eval_every=config.eval_every,
+        early_stop_patience=config.early_stop_patience,
+        plateau=PlateauScheduler(
+            config.lr, factor=config.plateau_factor, patience=config.plateau_patience
+        ),
+        best_policy="loss_and_eer",
+        on_best=on_best,
+        on_epoch=on_epoch,
+        metrics_variant="basic",
+        log=log,
+        seed=config.seed,
+    )
+    history = loop.run()
+    log("Training finished.")
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""End-to-end: train_visual (ArcFace) -> bundle -> test_visual eval.
+
+Exercises the freeze->unfreeze transition (two compiled step variants), the
+joint best-(loss,EER) checkpoint policy, bundle round-trip into the test CLI,
+and the interp metric report with classwise counts — the BASELINE.json
+config-1/3 path on a CPU-runnable micro-dataset.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_deepfake_detection_tpu.cli import test_visual, train_visual
+from multimodal_deepfake_detection_tpu.data import make_face_npy_tree
+
+
+@pytest.fixture(scope="module")
+def face_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("faces")
+    return make_face_npy_tree(str(root), n_per_class=3, frames=3, size=32)
+
+
+def test_train_then_test_visual(face_tree, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    logs = []
+    history = train_visual.main(
+        [
+            "--train_folder", f"{face_tree}/train",
+            "--eval_folder", f"{face_tree}/eval",
+            "--checkpoint_dir", ckpt_dir,
+            "--hidden_dim", "8",
+            "--batch_size", "2",
+            "--epochs", "2",
+            "--freeze_epochs", "1",
+            "--buckets", "3",
+            "--compute_dtype", "float32",
+            "--save_resume_state", "false",
+        ],
+        log=logs.append,
+    )
+    assert len(history) == 2
+    assert all(np.isfinite(h.train_loss) for h in history)
+    assert any("class counts: real=3 fake=3" in l for l in logs)
+
+    bundle_path = os.path.join(ckpt_dir, "XceptionLSTMV_ArcFace_Best.npz")
+    assert os.path.exists(bundle_path)
+
+    results = test_visual.main(
+        [
+            "--test_folder", f"{face_tree}/test",
+            "--ckpt_path", bundle_path,
+            "--hidden_dim", "8",
+            "--batch_size", "2",
+            "--buckets", "3",
+            "--compute_dtype", "float32",
+            "--save_scores", str(tmp_path / "scores.npz"),
+        ],
+        log=logs.append,
+    )
+    for key in ("Accuracy", "AUC", "pAUC", "EER", "ACC@J"):
+        assert key in results, key
+    assert results["total_real"] == 3 and results["total_fake"] == 3
+    z = np.load(tmp_path / "scores.npz")
+    assert z["scores"].shape == (6,) and z["labels"].shape == (6,)
+
+
+def test_test_visual_strict_load_rejects_wrong_dim(face_tree, tmp_path):
+    """Bundle trained at hidden 8 must fail a strict load into hidden 16."""
+    ckpt_dir = str(tmp_path / "c")
+    train_visual.main(
+        [
+            "--train_folder", f"{face_tree}/train",
+            "--eval_folder", f"{face_tree}/eval",
+            "--checkpoint_dir", ckpt_dir,
+            "--hidden_dim", "8",
+            "--batch_size", "2",
+            "--epochs", "1",
+            "--freeze_epochs", "1",
+            "--buckets", "3",
+            "--compute_dtype", "float32",
+            "--save_resume_state", "false",
+        ],
+        log=lambda s: None,
+    )
+    with pytest.raises(ValueError, match="shape mismatch"):
+        test_visual.build_scorer(
+            test_visual.Config(
+                ckpt_path=os.path.join(ckpt_dir, "XceptionLSTMV_ArcFace_Best.npz"),
+                hidden_dim=16,
+                compute_dtype="float32",
+            )
+        )
