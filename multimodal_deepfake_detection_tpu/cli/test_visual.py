@@ -39,6 +39,13 @@ class Config:
 
     test_folder: str = "Dataset/processed/test"
     ckpt_path: str = "Checkpoints/XceptionLSTMV_ArcFace_Best.npz"
+    # dataset mode: 'npy' or D2 metadata modes ('fakeavceleb' w/ csv_path —
+    # the reference test loop's config, test_visual.py:578-590)
+    mode: str = "npy"
+    subset: str = "test"
+    csv_path: Optional[str] = None
+    lavdf_json: Optional[str] = None
+    frame_size: Tuple[int, int] = (224, 224)
     hidden_dim: int = 128
     arcface_s: float = 30.0
     batch_size: int = 4
@@ -111,8 +118,24 @@ def evaluate(score_fn, loader, *, log=print):
 
 def main(argv=None, *, test_ds=None, log=print):
     config = parse_config(Config, argv, prog="test_visual")
-    test_ds = test_ds or NpyFolderDataset(config.test_folder, kind="video", max_frames=config.max_frames)
-    loader = DataLoader(test_ds, config.batch_size, buckets=config.buckets)
+    if config.mode != "npy" and test_ds is None:
+        from ..data.video_enhanced import get_face_dataloader
+
+        loader = get_face_dataloader(
+            config.test_folder,
+            mode=config.mode,
+            subset=config.subset,
+            csv_path=config.csv_path,
+            lavdf_json=config.lavdf_json,
+            batch_size=config.batch_size,
+            frame_size=tuple(config.frame_size),
+            max_frames=config.max_frames,
+            buckets=config.buckets,
+            seed=config.seed,
+        )
+    else:
+        test_ds = test_ds or NpyFolderDataset(config.test_folder, kind="video", max_frames=config.max_frames)
+        loader = DataLoader(test_ds, config.batch_size, buckets=config.buckets)
     score_fn = build_scorer(config)
     results, y, s = evaluate(score_fn, loader, log=log)
 

@@ -60,6 +60,15 @@ class Config:
     plateau_factor: float = 0.5
     plateau_patience: int = 3
     max_frames: int = 50
+    # dataset mode: 'npy' (flat filename-label tree) or the D2 metadata modes
+    # 'fakeavceleb' / 'lavdf' / 'lavdf_raw' (train_visual.py:495-507 uses lavdf_raw)
+    mode: str = "npy"
+    csv_path: Optional[str] = None
+    lavdf_json: Optional[str] = None
+    use_face_detection: bool = False
+    frame_size: Tuple[int, int] = (224, 224)
+    augment_minority: bool = False
+    sample_percentage: float = 1.0
     seed: int = 0
     shuffle: bool = True
     compute_dtype: str = "bfloat16"
@@ -71,12 +80,36 @@ class Config:
 
 def build(config: Config, train_ds=None, eval_ds=None):
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
-    train_ds = train_ds or NpyFolderDataset(config.train_folder, kind="video", max_frames=config.max_frames)
-    eval_ds = eval_ds or NpyFolderDataset(config.eval_folder, kind="video", max_frames=config.max_frames)
-    train_loader = DataLoader(
-        train_ds, config.batch_size, shuffle=config.shuffle, seed=config.seed, buckets=config.buckets
-    )
-    eval_loader = DataLoader(eval_ds, config.batch_size, buckets=config.buckets)
+    if config.mode != "npy" and train_ds is None:
+        from ..data.video_enhanced import get_face_dataloader
+
+        common = dict(
+            mode=config.mode,
+            csv_path=config.csv_path,
+            lavdf_json=config.lavdf_json,
+            batch_size=config.batch_size,
+            use_face_detection=config.use_face_detection,
+            frame_size=tuple(config.frame_size),
+            max_frames=config.max_frames,
+            buckets=config.buckets,
+            seed=config.seed,
+        )
+        train_loader = get_face_dataloader(
+            config.train_folder,
+            subset="train",
+            shuffle=config.shuffle,
+            augment_minority=config.augment_minority,
+            sample_percentage=config.sample_percentage,
+            **common,
+        )
+        eval_loader = get_face_dataloader(config.eval_folder, subset="eval", **common)
+    else:
+        train_ds = train_ds or NpyFolderDataset(config.train_folder, kind="video", max_frames=config.max_frames)
+        eval_ds = eval_ds or NpyFolderDataset(config.eval_folder, kind="video", max_frames=config.max_frames)
+        train_loader = DataLoader(
+            train_ds, config.batch_size, shuffle=config.shuffle, seed=config.seed, buckets=config.buckets
+        )
+        eval_loader = DataLoader(eval_ds, config.batch_size, buckets=config.buckets)
 
     rng = jax.random.PRNGKey(config.seed)
     r1, r2 = jax.random.split(rng)
@@ -140,7 +173,9 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
         state = load_state(config.resume, like=state)
         log(f"resumed train state from {config.resume} (step {int(state.step)})")
 
-    counts = train_loader.dataset.class_counts()
+    import numpy as np
+
+    counts = np.bincount(np.asarray(train_loader.dataset.all_labels), minlength=2)
     log(f"class counts: real={counts[0]} fake={counts[1]}")
 
     def on_best(state, result):

@@ -65,6 +65,37 @@ def make_audio_npy_tree(
     return root
 
 
+def make_joint_tree(
+    video_root: str,
+    au_root: str,
+    *,
+    n_per_class: int = 3,
+    frames: int = 4,
+    n_aus: int = 5,
+    face_size: int = 64,
+    patch_size: int = 32,
+    seed: int = 0,
+):
+    """Paired face npys + AU patch stacks with matching stems (the D3 joint
+    dataset's on-disk contract)."""
+    rng = np.random.default_rng(seed)
+    for split in ("train", "eval", "test"):
+        vd = os.path.join(video_root, split)
+        ad = os.path.join(au_root, split)
+        os.makedirs(vd, exist_ok=True)
+        os.makedirs(ad, exist_ok=True)
+        for label_name, label in (("real", 0), ("fake", 1)):
+            for i in range(n_per_class):
+                base = rng.uniform(0.3, 0.5) + _signal(rng, label)
+                vid = np.clip(rng.normal(base, 0.1, (frames, face_size, face_size, 3)), 0, 1)
+                patches = np.clip(rng.normal(base, 0.1, (frames, n_aus, patch_size, patch_size, 3)), 0, 1)
+                w = rng.dirichlet(np.ones(n_aus), size=frames).astype(np.float32)
+                np.save(os.path.join(vd, f"{label_name}_{i}.npy"), (vid * 255).astype(np.uint8))
+                np.save(os.path.join(ad, f"{label_name}_{i}.npy"), (patches * 255).astype(np.uint8))
+                np.save(os.path.join(ad, f"{label_name}_{i}_weights.npy"), w)
+    return video_root, au_root
+
+
 def make_au_patch_tree(
     root: str,
     *,

@@ -1,0 +1,87 @@
+"""AU-patch classifier with per-AU attention ("ResNetLSTM" / phantom D5).
+
+Reconstruction of ``Models.ResNetLSTM.AUPatchResNetClassifierWithAUAttention``
+— absent from the reference repo; its internals are pinned by the dead
+embedding extractor at ``/root/reference/test_au_patch.py:267-289``:
+
+    per-patch ResNet features -> au_fc -> (B, T, A, hidden)
+    attn scores -> softmax over the AU axis
+    optionally blended with external per-patch weights (renormalized, +1e-6)
+    attended sum over A -> (B, T, hidden)
+    bidirectional LSTM -> (B, T, 2*lstm_hidden) -> mean over T -> classifier
+
+and the ctor signature ``(hidden_dim=128, lstm_hidden=128)`` at
+``train_au_patch.py:199``. TPU shape discipline: all (B, T, A) axes flatten
+into one backbone batch; attention/LSTM run on dense (B, T, ...) tensors with
+optional length masking for padded batches.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import linear, linear_init
+from ..ops.lstm import bilstm_apply, bilstm_init
+from .resnet import FEATURE_DIM, resnet18_apply, resnet18_init
+
+
+def au_patch_classifier_init(rng, *, hidden_dim: int = 128, lstm_hidden: int = 128, dtype=jnp.float32):
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    backbone_p, backbone_s = resnet18_init(k1, dtype=dtype)
+    params = {
+        "backbone": backbone_p,
+        "au_fc": linear_init(k2, FEATURE_DIM, hidden_dim, dtype=dtype),
+        "attn": linear_init(k3, hidden_dim, 1, dtype=dtype),
+        "lstm": bilstm_init(k4, hidden_dim, lstm_hidden, dtype=dtype),
+        "classifier": linear_init(k5, 2 * lstm_hidden, 1, dtype=dtype),
+    }
+    return params, {"backbone": backbone_s}
+
+
+def au_patch_classifier_apply(
+    params,
+    state,
+    patches: jnp.ndarray,
+    au_patch_weights: Optional[jnp.ndarray] = None,
+    *,
+    lengths: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    compute_dtype=None,
+    return_pooled: bool = False,
+) -> Tuple[jnp.ndarray, dict]:
+    """patches (B, T, A, H, W, 3), weights (B, T, A) -> logits (B, 1).
+
+    ``lengths`` masks the temporal mean-pool for padded batches (quality
+    mode); omit to match the reference's full-T mean.
+    ``return_pooled`` exposes the (B, 2*lstm_hidden) pre-classifier embedding
+    (the t-SNE export tap, ``test_au_patch.py:287-289``).
+    """
+    B, T, A = patches.shape[:3]
+    flat = patches.reshape((B * T * A,) + patches.shape[3:])
+    feats, new_bstate = resnet18_apply(
+        params["backbone"], state["backbone"], flat, train=train, compute_dtype=compute_dtype
+    )
+    feats = linear(params["au_fc"], feats, compute_dtype=compute_dtype)
+    feats = feats.reshape(B, T, A, -1)
+
+    attn_scores = linear(params["attn"], feats, compute_dtype=compute_dtype)  # (B,T,A,1)
+    attn = jax.nn.softmax(attn_scores.astype(jnp.float32), axis=2)
+    if au_patch_weights is not None:
+        combined = attn * au_patch_weights[..., None].astype(jnp.float32)
+        attn = combined / (jnp.sum(combined, axis=2, keepdims=True) + 1e-6)
+    attended = jnp.sum(attn.astype(feats.dtype) * feats, axis=2)  # (B,T,hidden)
+
+    lstm_out = bilstm_apply(params["lstm"], attended, compute_dtype=compute_dtype)
+    if lengths is None:
+        pooled = jnp.mean(lstm_out.astype(jnp.float32), axis=1)
+    else:
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+        pooled = jnp.sum(lstm_out.astype(jnp.float32) * mask[..., None], axis=1) / jnp.maximum(
+            jnp.sum(mask, axis=1, keepdims=True), 1.0
+        )
+    if return_pooled:
+        return pooled, {"backbone": new_bstate}
+    logits = linear(params["classifier"], pooled.astype(attended.dtype), compute_dtype=compute_dtype)
+    return logits, {"backbone": new_bstate}

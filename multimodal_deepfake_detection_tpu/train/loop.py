@@ -33,6 +33,7 @@ class EpochResult:
     train_metrics: Dict[str, float]
     eval_loss: Optional[float] = None
     eval_metrics: Optional[Dict[str, float]] = None
+    eval_scores: Optional[tuple] = None  # (labels, probs) arrays from the eval pass
     lr: Optional[float] = None
     seconds: float = 0.0
 
@@ -165,6 +166,7 @@ class TrainLoop:
                 eval_loss, el, ep = self._eval_epoch()
                 result.eval_loss = eval_loss
                 result.eval_metrics = _metrics(self.metrics_variant, el, ep)
+                result.eval_scores = (np.asarray(el), np.asarray(ep))
 
                 if self.plateau is not None:
                     new_lr = self.plateau.step(eval_loss)

@@ -62,6 +62,10 @@ def onecycle_schedule(
     div_factor: float = 25.0,
     final_div_factor: float = 1e4,
 ) -> optax.Schedule:
+    # optax's onecycle NaNs when a phase rounds to zero steps (tiny runs);
+    # clamp so warmup and cooldown each span >= 1 step.
+    total_steps = max(int(total_steps), 4)
+    pct_start = min(max(pct_start, 1.0 / total_steps), 1.0 - 1.0 / total_steps)
     return optax.cosine_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=max_lr,

@@ -55,7 +55,18 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         new_ema = None
         if use_ema and state.ema is not None:
-            new_ema = ema_update(state.ema, new_params, decay=ema_decay)
+            # With gradient accumulation (MultiSteps), fold into the EMA only on
+            # real optimizer steps — the reference updates its AveragedModel per
+            # step, not per micro-batch (/root/reference/train_au_face.py:688-692).
+            if hasattr(new_opt, "mini_step"):
+                did_step = new_opt.mini_step == 0
+                new_ema = jax.tree_util.tree_map(
+                    lambda upd, keep: jnp.where(did_step, upd, keep),
+                    ema_update(state.ema, new_params, decay=ema_decay),
+                    state.ema,
+                )
+            else:
+                new_ema = ema_update(state.ema, new_params, decay=ema_decay)
         return (
             TrainState(state.step + 1, new_params, new_bn, new_opt, new_ema),
             loss,

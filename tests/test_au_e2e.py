@@ -1,0 +1,156 @@
+"""End-to-end smokes: AU loaders + train/test_au_patch + train/test_au_face."""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_deepfake_detection_tpu.cli import (
+    test_au_face,
+    test_au_patch,
+    train_au_face,
+    train_au_patch,
+)
+from multimodal_deepfake_detection_tpu.data import (
+    get_joint_dataloader,
+    get_patch_image_loaders,
+    make_au_patch_tree,
+    make_joint_tree,
+)
+
+
+@pytest.fixture(scope="module")
+def patch_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("aup")
+    return make_au_patch_tree(str(root), n_per_class=2, frames=3, n_aus=3, size=16)
+
+
+@pytest.fixture(scope="module")
+def joint_tree(tmp_path_factory):
+    v = tmp_path_factory.mktemp("jv")
+    a = tmp_path_factory.mktemp("ja")
+    return make_joint_tree(str(v), str(a), n_per_class=2, frames=3, n_aus=3, face_size=24, patch_size=16)
+
+
+def test_patch_loaders_contract(patch_tree):
+    train_l, test_l, eval_l = get_patch_image_loaders(
+        patch_tree, batch_size=2, max_frames=3, max_aus=3, augment_train=True, seed=0
+    )
+    patches, weights, labels, lengths = next(iter(train_l))
+    assert patches.shape == (2, 3, 3, 16, 16, 3)
+    assert weights.shape == (2, 3, 3)
+    assert patches.max() <= 1.0
+    assert hasattr(train_l.dataset, "all_labels")
+    # augment_train balances via oversampling: still both classes present
+    assert set(train_l.dataset.all_labels) == {0, 1}
+
+
+def test_joint_loader_contract(joint_tree):
+    v, a = joint_tree
+    train_l, test_l, eval_l = get_joint_dataloader(
+        v, a, batch_size=2, max_frames=3, max_aus=3, return_weights=True, seed=0
+    )
+    videos, patches, labels, au_mask, au_weight, lengths = next(iter(train_l))
+    assert videos.shape == (2, 3, 24, 24, 3)
+    assert patches.shape == (2, 3, 3, 16, 16, 3)
+    assert au_mask.shape == (2, 3, 3) and au_mask.max() == 1.0
+    assert train_l.dataset.all_labels is not None
+
+    train_nw, *_ = get_joint_dataloader(v, a, batch_size=2, max_frames=3, max_aus=3, return_weights=False)
+    out = next(iter(train_nw))
+    assert len(out) == 4  # (videos, patches, labels, lengths)
+
+
+def test_train_then_test_au_patch(patch_tree, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    logs = []
+    history = train_au_patch.main(
+        [
+            "--data_root", patch_tree,
+            "--checkpoint_dir", ckpt,
+            "--hidden_dim", "8",
+            "--lstm_hidden", "4",
+            "--batch_size", "2",
+            "--max_frames", "3",
+            "--max_aus", "3",
+            "--epochs", "2",
+            "--compute_dtype", "float32",
+            "--save_resume_state", "false",
+        ],
+        log=logs.append,
+    )
+    assert len(history) == 2 and all(np.isfinite(h.train_loss) for h in history)
+    bundle = os.path.join(ckpt, "best_au_patch_model.npz")
+    assert os.path.exists(bundle)
+
+    results = test_au_patch.main(
+        [
+            "--data_root", patch_tree,
+            "--ckpt_path", bundle,
+            "--hidden_dim", "8",
+            "--lstm_hidden", "4",
+            "--batch_size", "2",
+            "--max_frames", "3",
+            "--max_aus", "3",
+            "--compute_dtype", "float32",
+            "--save_embeddings", str(tmp_path / "emb.npz"),
+        ],
+        log=logs.append,
+    )
+    assert "AUC" in results and "thr=0.5" in results
+    z = np.load(tmp_path / "emb.npz")
+    assert z["embeddings"].shape[1] == 2 * 4
+
+
+def test_train_then_test_au_face(joint_tree, tmp_path):
+    v, a = joint_tree
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "outs")
+    logs = []
+    history = train_au_face.main(
+        [
+            "--video_root", v,
+            "--au_root", a,
+            "--checkpoint_dir", ckpt,
+            "--num_aus", "3",
+            "--face_dim", "16",
+            "--au_dim", "16",
+            "--lstm_hidden", "8",
+            "--embed_dim", "8",
+            "--batch_size", "2",
+            "--max_frames", "3",
+            "--accum_steps", "2",
+            "--epochs", "2",
+            "--compute_dtype", "float32",
+            "--save_resume_state", "false",
+        ],
+        log=logs.append,
+    )
+    assert len(history) == 2 and all(np.isfinite(h.train_loss) for h in history)
+    assert any("Class counts" in l for l in logs)
+    assert any("Eval@FPR" in l for l in logs)
+    bundle = os.path.join(ckpt, "auface_cross_best_auc_arcface_cb.npz")
+    assert os.path.exists(bundle)
+    from multimodal_deepfake_detection_tpu.core.checkpoint import load_bundle
+
+    b = load_bundle(bundle)
+    assert set(b.keys()) >= {"model", "embed", "arcface", "best_auc"}
+
+    results = test_au_face.main(
+        [
+            "--video_root", v,
+            "--au_root", a,
+            "--ckpt_path", bundle,
+            "--output_dir", out_dir,
+            "--num_aus", "3",
+            "--face_dim", "16",
+            "--au_dim", "16",
+            "--lstm_hidden", "8",
+            "--batch_size", "2",
+            "--max_frames", "3",
+            "--compute_dtype", "float32",
+            "--tsne", "false",
+        ],
+        log=logs.append,
+    )
+    assert "AUC" in results and "Youden" in results
+    assert os.path.exists(os.path.join(out_dir, "scores_and_labels.npz"))
