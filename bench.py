@@ -33,6 +33,12 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--no-fold-bn", action="store_true", help="disable inference BN folding")
+    parser.add_argument(
+        "--pallas",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="fused Pallas middle-flow blocks (default on; --no-pallas for XLA-only)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -42,8 +48,10 @@ def main():
     from multimodal_deepfake_detection_tpu.models.xception import xception_apply, xception_init
 
     if jax.devices()[0].platform == "cpu":
-        # CPU smoke mode: tiny shapes so the harness stays runnable anywhere
+        # CPU smoke mode: tiny shapes so the harness stays runnable anywhere;
+        # the Pallas kernel is TPU-only (Mosaic), use the XLA path
         args.batch, args.size, args.iters, args.warmup = 4, 64, 3, 1
+        args.pallas = False
 
     cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params, state = xception_init(jax.random.PRNGKey(0), num_classes=2)
@@ -53,12 +61,14 @@ def main():
 
         folded = fold_xception_bn(params, state)
 
+        use_pallas = bool(args.pallas)
+
         @jax.jit
         def fwd(p, x, i):
             x = x * (1.0 + i.astype(jnp.float32) * 1e-6)
             from multimodal_deepfake_detection_tpu.models.fold import folded_xception_apply
 
-            return jnp.sum(folded_xception_apply(p, x, compute_dtype=cdtype))
+            return jnp.sum(folded_xception_apply(p, x, compute_dtype=cdtype, use_pallas=use_pallas))
 
         weights = jax.device_put(folded)
         call = lambda x, i: fwd(weights, x, i)

@@ -67,13 +67,27 @@ def _sep_apply(p, x, compute_dtype):
     return conv2d(p["pointwise"], x, stride=1, padding=0, compute_dtype=compute_dtype)
 
 
-def folded_xception_apply(params, x, *, compute_dtype=None, features_only: bool = False):
-    """BN-free forward; mirrors models.xception.xception_apply eval mode."""
+def folded_xception_apply(
+    params, x, *, compute_dtype=None, features_only: bool = False, use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
+    """BN-free forward; mirrors models.xception.xception_apply eval mode.
+
+    ``use_pallas=True`` routes the 8 middle-flow residual blocks through the
+    fused VMEM-resident Pallas kernel (ops/pallas/sepconv_block.py).
+    """
+    if use_pallas:
+        from ..ops.pallas.sepconv_block import is_middle_block, middle_block_pallas, pack_middle_block
+
     h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype))
     h = jax.nn.relu(conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype))
 
     for spec, bp in zip(XCEPTION_BLOCK_SPECS, params["blocks"]):
         _, _, _, stride, start_with_relu, _ = spec
+        if use_pallas and stride == 1 and start_with_relu and is_middle_block(bp):
+            dw, pw, b = pack_middle_block(bp)
+            h = middle_block_pallas(h, dw, pw, b, interpret=pallas_interpret)
+            continue
         inp = h
         for i, unit in enumerate(bp["units"]):
             if i > 0 or start_with_relu:

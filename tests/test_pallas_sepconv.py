@@ -1,0 +1,61 @@
+"""Fused middle-flow Pallas kernel: numerical parity vs the XLA folded path
+(interpret mode on CPU; the real Mosaic compile is exercised on TPU by
+bench.py --pallas)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_deepfake_detection_tpu.models.fold import fold_xception_bn, folded_xception_apply
+from multimodal_deepfake_detection_tpu.models.xception import xception_init
+from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_block import (
+    is_middle_block,
+    middle_block_pallas,
+    pack_middle_block,
+)
+
+
+def _ref_block(x, dw, pw, b):
+    """XLA reference of the fused block on (B, H, W, C)."""
+    h = x.astype(jnp.float32)
+    reps, _, C = dw.shape
+    for r in range(reps):
+        h = jax.nn.relu(h)
+        taps = dw[r].reshape(3, 3, 1, C)
+        h = jax.lax.conv_general_dilated(
+            h, taps, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        )
+        h = jnp.einsum("bhwc,cd->bhwd", h, pw[r].astype(jnp.float32)) + b[r]
+    return h + x.astype(jnp.float32)
+
+
+def test_middle_block_kernel_matches_reference():
+    rng = jax.random.PRNGKey(0)
+    B, H, W, C, reps = 2, 8, 8, 16, 3
+    ks = jax.random.split(rng, 4)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    dw = jax.random.normal(ks[1], (reps, 9, C)) * 0.2
+    pw = jax.random.normal(ks[2], (reps, C, C)) * 0.1
+    b = jax.random.normal(ks[3], (reps, C)) * 0.05
+    ref = _ref_block(x, dw, pw, b)
+    out = middle_block_pallas(x, dw, pw, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_folded_apply_with_pallas_matches_plain():
+    params, state = xception_init(jax.random.PRNGKey(1), num_classes=3)
+    folded = fold_xception_bn(params, state)
+    assert sum(is_middle_block(bp) for bp in folded["blocks"]) == 8
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    ref = folded_xception_apply(folded, x)
+    out = folded_xception_apply(folded, x, use_pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-3)
+
+
+def test_pack_middle_block_shapes():
+    params, state = xception_init(jax.random.PRNGKey(3), num_classes=None)
+    folded = fold_xception_bn(params, state)
+    middle = [bp for bp in folded["blocks"] if is_middle_block(bp)][0]
+    dw, pw, b = pack_middle_block(middle)
+    assert dw.shape == (3, 9, 728) and pw.shape == (3, 728, 728) and b.shape == (3, 728)
