@@ -83,6 +83,7 @@ class Config:
     compute_dtype: str = "bfloat16"
     buckets: Tuple[int, ...] = ()
     fpr_target: float = 0.05
+    jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
     resume: Optional[str] = None
     save_resume_state: bool = True
 
@@ -232,9 +233,17 @@ def main(argv=None, *, log=print):
         )
         log(f"New best AUC: {result.eval_metrics['AUC']:.4f} - Model saved.")
 
+    jsonl = None
+    if config.jsonl_log:
+        from ..utils.metric_logger import JsonlLogger
+
+        jsonl = JsonlLogger(config.jsonl_log, run_name="train_au_face", config=config)
+
     def on_epoch(state, result):
         if config.save_resume_state:
             save_state(resume_path, state)
+        if jsonl is not None:
+            jsonl.log_epoch(result)
         if result.eval_scores is not None and result.eval_scores[0].size:
             y, s = result.eval_scores
             if len(np.unique(y)) >= 2:

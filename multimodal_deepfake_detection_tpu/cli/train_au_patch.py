@@ -58,6 +58,7 @@ class Config:
     compute_dtype: str = "bfloat16"
     buckets: Tuple[int, ...] = ()
     mask_padding: bool = True
+    jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
     resume: Optional[str] = None
     save_resume_state: bool = True
 
@@ -146,9 +147,17 @@ def main(argv=None, *, log=print):
         save_bundle(best_path, {"model": state.params})
         log(f"model saved -> {best_path}")
 
+    jsonl = None
+    if config.jsonl_log:
+        from ..utils.metric_logger import JsonlLogger
+
+        jsonl = JsonlLogger(config.jsonl_log, run_name="train_au_patch", config=config)
+
     def on_epoch(state, result):
         if config.save_resume_state:
             save_state(resume_path, state)
+        if jsonl is not None:
+            jsonl.log_epoch(result)
 
     loop = TrainLoop(
         train_step=train_step,

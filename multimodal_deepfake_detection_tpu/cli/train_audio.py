@@ -53,6 +53,8 @@ class Config:
     buckets: Tuple[int, ...] = (120,)  # audio clips are 120 MFCC frames (SURVEY C6)
     mask_padding: bool = True  # False = reference's pad-consuming LSTM quirk
     freeze_backbone: bool = True  # reference freezes Xception (XceptionLSTMA.py:11-12)
+    native_loader: bool = False  # C++ batched npy collate (native/npy_collate.cc)
+    jsonl_log: Optional[str] = None  # path for structured per-epoch JSONL metrics
     resume: Optional[str] = None
     save_resume_state: bool = True
 
@@ -62,8 +64,18 @@ def build(config: Config, train_ds=None, eval_ds=None):
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     train_ds = train_ds or NpyFolderDataset(config.train_folder, kind="audio")
     eval_ds = eval_ds or NpyFolderDataset(config.eval_folder, kind="audio")
-    train_loader = DataLoader(train_ds, config.batch_size, shuffle=False, seed=config.seed, buckets=config.buckets)
-    eval_loader = DataLoader(eval_ds, config.batch_size, buckets=config.buckets)
+    if config.native_loader:
+        from ..data.native_loader import make_native_loader
+
+        train_loader = make_native_loader(
+            train_ds, config.batch_size, buckets=config.buckets, seed=config.seed
+        )
+        eval_loader = make_native_loader(eval_ds, config.batch_size, buckets=config.buckets)
+    else:
+        train_loader = DataLoader(
+            train_ds, config.batch_size, shuffle=False, seed=config.seed, buckets=config.buckets
+        )
+        eval_loader = DataLoader(eval_ds, config.batch_size, buckets=config.buckets)
 
     rng = jax.random.PRNGKey(config.seed)
     params, bn_state = xception_lstm_init(rng, config.hidden_dim)
@@ -133,9 +145,17 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
         save_bundle(best_path, {"model": state.params})
         log(f"new best model saved -> {best_path}")
 
+    jsonl = None
+    if config.jsonl_log:
+        from ..utils.metric_logger import JsonlLogger
+
+        jsonl = JsonlLogger(config.jsonl_log, run_name="train_audio", config=config)
+
     def on_epoch(state, result):
         if config.save_resume_state:
             save_state(resume_path, state)
+        if jsonl is not None:
+            jsonl.log_epoch(result)
 
     loop = TrainLoop(
         train_step=train_step,

@@ -74,6 +74,7 @@ class Config:
     compute_dtype: str = "bfloat16"
     buckets: Tuple[int, ...] = (25, 50)
     mask_padding: bool = True
+    jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
     resume: Optional[str] = None
     save_resume_state: bool = True
 
@@ -184,9 +185,17 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
         save_bundle(best_path, {"model": model_params, "arcface": state.params["arcface"]})
         log(f"new best model saved -> {best_path}")
 
+    jsonl = None
+    if config.jsonl_log:
+        from ..utils.metric_logger import JsonlLogger
+
+        jsonl = JsonlLogger(config.jsonl_log, run_name="train_visual", config=config)
+
     def on_epoch(state, result):
         if config.save_resume_state:
             save_state(resume_path, state)
+        if jsonl is not None:
+            jsonl.log_epoch(result)
 
     loop = TrainLoop(
         train_step=train_step,

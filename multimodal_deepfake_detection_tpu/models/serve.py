@@ -1,0 +1,118 @@
+"""Serving engines: decode-to-logits inference without host round-trips.
+
+Production-path scorers for the two temporal detectors (the BASELINE.json
+north-star config: fused device-side preprocessing + batched sharded
+inference replacing per-clip Python loops):
+
+* the Xception backbone runs BN-folded (models/fold.py) with the fused Pallas
+  middle-flow kernel on TPU;
+* preprocessing fuses into the same jit program — uint8 frames are normalized
+  and resized on device; raw waveforms go through the on-device MFCC frontend
+  (ops/mfcc.py) and channel-tripling without touching the host;
+* one compiled program per (batch, length) bucket; scores stream out as
+  host scalars only.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lstm import lstm_apply, select_last_step
+from ..ops.mfcc import mfcc as mfcc_op
+from ..ops.resize import resize_bilinear
+from .fold import fold_xception_bn, folded_xception_apply
+from .heads import arcface_apply, xception_lstm_head_apply
+
+
+def _use_pallas_default() -> bool:
+    return jax.devices()[0].platform not in ("cpu",)
+
+
+class VisualScorer:
+    """XceptionLSTMV + ArcFace scoring on raw uint8 frame stacks."""
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        *,
+        arcface_s: float = 30.0,
+        frame_size: Optional[Tuple[int, int]] = None,
+        compute_dtype=jnp.bfloat16,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
+        self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
+        self.arcface_s = arcface_s
+        self.frame_size = frame_size
+        self.compute_dtype = compute_dtype
+        self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
+        self._score = jax.jit(partial(self._score_impl))
+
+    def _score_impl(self, backbone, head, frames_u8, lengths):
+        B, T = frames_u8.shape[:2]
+        x = frames_u8.reshape((B * T,) + frames_u8.shape[2:]).astype(jnp.float32) / 255.0
+        if self.frame_size is not None and x.shape[1:3] != tuple(self.frame_size):
+            x = resize_bilinear(x, self.frame_size)
+        feats = folded_xception_apply(
+            backbone, x, compute_dtype=self.compute_dtype, features_only=True,
+            use_pallas=self.use_pallas,
+        ).reshape(B, T, -1)
+        outputs, _ = lstm_apply(head["lstm"], feats, compute_dtype=self.compute_dtype)
+        emb = select_last_step(outputs, lengths)
+        logits = arcface_apply(head["arcface"], emb, None, s=self.arcface_s)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    def score(self, frames_u8: np.ndarray, lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        """frames_u8: (B, T, H, W, 3) uint8 -> fake probabilities (B,)."""
+        if lengths is None:
+            lengths = np.full((frames_u8.shape[0],), frames_u8.shape[1], np.int32)
+        return np.asarray(self._score(self.folded_backbone, self.head_params, frames_u8, lengths))
+
+
+class AudioScorer:
+    """XceptionLSTMA scoring straight from raw 16 kHz waveforms."""
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        *,
+        sr: int = 16000,
+        n_mfcc: int = 13,
+        n_fft: int = 400,
+        hop_length: int = 160,
+        compute_dtype=jnp.bfloat16,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
+        self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
+        self.mfcc_kw = dict(sr=sr, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length)
+        self.compute_dtype = compute_dtype
+        self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, backbone, head, waveforms, lengths):
+        # waveform -> MFCC -> channel-triple -> (13,1)->64x64 images, on device
+        feats_mfcc = mfcc_op(waveforms, **self.mfcc_kw)  # (B, T, 13)
+        B, T, n = feats_mfcc.shape
+        imgs = feats_mfcc.reshape(B * T, n, 1, 1)
+        imgs = jnp.broadcast_to(imgs, (B * T, n, 1, 3))  # channel-triple
+        imgs = resize_bilinear(imgs, (64, 64))
+        feats = folded_xception_apply(
+            backbone, imgs, compute_dtype=self.compute_dtype, features_only=True,
+            use_pallas=self.use_pallas,
+        ).reshape(B, T, -1)
+        return xception_lstm_head_apply(
+            head, feats, lengths=lengths, compute_dtype=self.compute_dtype
+        )[:, 0]
+
+    def score(self, waveforms: np.ndarray, frame_lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        """waveforms: (B, samples) float -> fake probabilities (B,)."""
+        out = self._score(self.folded_backbone, self.head_params, waveforms, frame_lengths)
+        return np.asarray(out)
