@@ -45,6 +45,9 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
+    from multimodal_deepfake_detection_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from multimodal_deepfake_detection_tpu.models.xception import xception_apply, xception_init
 
     if jax.devices()[0].platform == "cpu":

@@ -29,6 +29,9 @@ class Config:
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="preprocess_audio")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     written = process_audio_mfcc(
         config.dataset_root,
         config.out_root,

@@ -29,6 +29,9 @@ class Config:
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="preprocess_faces")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if config.mode == "uadfv":
         written = process_uadfv_faces(
             config.dataset_root,

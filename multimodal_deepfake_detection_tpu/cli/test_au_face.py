@@ -74,6 +74,8 @@ def load_detector_flexible(config: Config, log=print):
         log(f"[Load] strict failed -> {type(e).__name__}: {e}")
         params = merge_params(params, tree, strict=False)
         log("[Load] non-strict fallback applied")
+    if isinstance(bundle, dict) and "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
     return params, bn_state
 
 
@@ -108,6 +110,9 @@ def collect_features(loader, params, bn_state, *, compute_dtype, log=print):
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="test_au_face")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     os.makedirs(config.output_dir, exist_ok=True)
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
 

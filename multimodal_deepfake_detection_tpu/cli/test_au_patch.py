@@ -55,6 +55,9 @@ def _counts_at(y, s, thr):
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="test_au_patch")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     _train, test_l, _eval = get_patch_image_loaders(
         config.data_root,
@@ -72,7 +75,12 @@ def main(argv=None, *, log=print):
     params, bn_state = au_patch_classifier_init(
         jax.random.PRNGKey(config.seed), hidden_dim=config.hidden_dim, lstm_hidden=config.lstm_hidden
     )
-    params = merge_params(params, load_bundle(config.ckpt_path)["model"], strict=True)
+    bundle = load_bundle(config.ckpt_path)
+    params = merge_params(params, bundle["model"], strict=True)
+    if "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
+    else:
+        log("[Load] bundle has no BN state; using initialization statistics")
 
     @jax.jit
     def score(params, bn_state, patches, weights, lengths):

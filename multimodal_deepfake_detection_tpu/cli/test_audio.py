@@ -36,12 +36,20 @@ class Config:
 
 def main(argv=None, *, test_ds=None, log=print):
     config = parse_config(Config, argv, prog="test_audio")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     test_ds = test_ds or NpyFolderDataset(config.test_folder, kind="audio")
     loader = DataLoader(test_ds, config.batch_size, buckets=config.buckets)
 
     params, bn_state = xception_lstm_init(jax.random.PRNGKey(config.seed), config.hidden_dim)
-    params = merge_params(params, load_bundle(config.ckpt_path)["model"], strict=True)
+    bundle = load_bundle(config.ckpt_path)
+    params = merge_params(params, bundle["model"], strict=True)
+    if "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
+    else:
+        log("[Load] bundle has no BN state; using initialization statistics")
 
     @jax.jit
     def score(params, bn_state, batch):

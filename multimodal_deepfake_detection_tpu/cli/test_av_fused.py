@@ -98,9 +98,14 @@ def build_scorer(config: Config, log=print):
     model = {k: v for k, v in v_params.items() if k != "arcface"}
     model = merge_params(model, v_bundle["model"], strict=True)
     v_params = dict(model, arcface=merge_params(v_params["arcface"], v_bundle["arcface"], strict=True))
+    if "state" in v_bundle:
+        v_bn = merge_params(v_bn, v_bundle["state"], strict=False)
 
     a_params, a_bn = xception_lstm_init(k3, config.audio_hidden)
-    a_params = merge_params(a_params, load_bundle(config.audio_ckpt)["model"], strict=True)
+    a_bundle = load_bundle(config.audio_ckpt)
+    a_params = merge_params(a_params, a_bundle["model"], strict=True)
+    if "state" in a_bundle:
+        a_bn = merge_params(a_bn, a_bundle["state"], strict=False)
 
     mesh = auto_data_mesh(config.batch_size)
     if mesh is not None:
@@ -131,6 +136,9 @@ def build_scorer(config: Config, log=print):
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="test_av_fused")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ds = PairedAVDataset(config.video_folder, config.audio_folder, max_frames=config.max_frames)
     if len(ds) == 0:
         raise FileNotFoundError("no paired clips between video_folder and audio_folder")

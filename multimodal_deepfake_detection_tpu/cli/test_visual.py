@@ -70,6 +70,8 @@ def build_scorer(config: Config):
     model_params = {k: v for k, v in params.items() if k != "arcface"}
     model_params = merge_params(model_params, bundle["model"], strict=config.strict_load)
     params = dict(model_params, arcface=merge_params(params["arcface"], bundle["arcface"], strict=config.strict_load))
+    if "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
 
     mesh = auto_data_mesh(config.batch_size)
     if mesh is not None:
@@ -118,6 +120,9 @@ def evaluate(score_fn, loader, *, log=print):
 
 def main(argv=None, *, test_ds=None, log=print):
     config = parse_config(Config, argv, prog="test_visual")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if config.mode != "npy" and test_ds is None:
         from ..data.video_enhanced import get_face_dataloader
 

@@ -209,6 +209,9 @@ def build(config: Config):
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="train_au_face")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     train_loader, eval_loader, _test_loader, state, train_step, eval_step = build(config)
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
@@ -228,6 +231,7 @@ def main(argv=None, *, log=print):
                 "model": state.ema.params["model"],
                 "embed": state.ema.params["embed"],
                 "arcface": state.params["arcface"],
+                "state": state.bn_state["model"],
                 "best_auc": jnp.asarray(result.eval_metrics["AUC"]),
             },
         )

@@ -134,6 +134,9 @@ def build(config: Config):
 
 def main(argv=None, *, log=print):
     config = parse_config(Config, argv, prog="train_au_patch")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     train_loader, eval_loader, _test_loader, state, train_step, eval_step = build(config)
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
@@ -144,7 +147,7 @@ def main(argv=None, *, log=print):
         log(f"resumed train state from {config.resume} (step {int(state.step)})")
 
     def on_best(state, result):
-        save_bundle(best_path, {"model": state.params})
+        save_bundle(best_path, {"model": state.params, "state": state.bn_state})
         log(f"model saved -> {best_path}")
 
     jsonl = None

@@ -128,6 +128,9 @@ def build(config: Config, train_ds=None, eval_ds=None):
 
 def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
     config = parse_config(Config, argv, prog="train_audio")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     train_loader, eval_loader, state, train_step, eval_step = build(config, train_ds, eval_ds)
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
@@ -142,7 +145,7 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
 
     def on_best(state, result):
         # best-eval-loss export, reference policy (/root/reference/train_audio.py:84-88)
-        save_bundle(best_path, {"model": state.params})
+        save_bundle(best_path, {"model": state.params, "state": state.bn_state})
         log(f"new best model saved -> {best_path}")
 
     jsonl = None

@@ -164,6 +164,9 @@ def build(config: Config, train_ds=None, eval_ds=None):
 
 def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
     config = parse_config(Config, argv, prog="train_visual")
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     train_loader, eval_loader, state, train_step, eval_step = build(config, train_ds, eval_ds)
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
@@ -182,7 +185,10 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
     def on_best(state, result):
         # {model, arcface} bundle, joint best loss+EER (train_visual.py:629-637)
         model_params = {k: v for k, v in state.params.items() if k != "arcface"}
-        save_bundle(best_path, {"model": model_params, "arcface": state.params["arcface"]})
+        save_bundle(
+            best_path,
+            {"model": model_params, "arcface": state.params["arcface"], "state": state.bn_state},
+        )
         log(f"new best model saved -> {best_path}")
 
     jsonl = None

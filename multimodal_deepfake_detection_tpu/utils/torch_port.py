@@ -87,6 +87,30 @@ def strip_prefixes(sd: Dict, prefixes=("module.", "feature_extractor.")) -> Dict
     return out
 
 
+def xception_lstm_params_from_torch(sd: Dict):
+    """Convert an XceptionLSTMV/XceptionLSTMA state_dict to (params, bn_state).
+
+    Layout per ``/root/reference/XceptionLSTMV.py``: ``feature_extractor.*``
+    (Xception, fc replaced by Identity), ``lstm.*``, ``fc_layers.{0,3,6,9}.*``
+    (Linear at every third Sequential slot), ``fc_out.*``.
+    """
+    backbone_sd = {k[len("feature_extractor."):]: v for k, v in sd.items() if k.startswith("feature_extractor.")}
+    backbone, bn_state = xception_params_from_torch(backbone_sd, with_fc=False)
+    params = {
+        "backbone": backbone,
+        "lstm": lstm_params_from_torch(sd, "lstm"),
+        "fc_layers": [linear_params_from_torch(sd, f"fc_layers.{i}") for i in (0, 3, 6, 9)],
+        "fc_out": linear_params_from_torch(sd, "fc_out"),
+    }
+    return params, {"backbone": bn_state}
+
+
+def arcface_params_from_torch(sd: Dict, prefix: str = "") -> Dict:
+    """ArcFaceHead stores one (num_classes, feat_dim) 'weight' — same layout here."""
+    key = (prefix + ".weight") if prefix else "weight"
+    return {"w": jnp.asarray(_np(sd[key]))}
+
+
 def xception_params_from_torch(sd: Dict, *, prefix: str = "", with_fc: Optional[bool] = None):
     """Convert a torch Xception state_dict into (params, state) pytrees.
 
