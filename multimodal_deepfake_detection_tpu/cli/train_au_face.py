@@ -44,7 +44,7 @@ from ..models.losses import (
     cb_focal_loss,
     temporal_smoothness_loss,
 )
-from ..train import PlateauScheduler, TrainLoop, TrainState, ema_init, make_optimizer
+from ..train import TrainLoop, TrainState, ema_init, make_optimizer
 from ..train.schedules import onecycle_schedule
 from ..train.steps import make_train_step
 

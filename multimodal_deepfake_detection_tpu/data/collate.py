@@ -10,7 +10,7 @@ consumes it, see ``ops/lstm.select_last_step``).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

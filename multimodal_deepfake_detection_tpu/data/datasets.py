@@ -17,7 +17,7 @@ Item transforms normalize these to model-ready float32:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ learning, not just absence of crashes.
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import numpy as np
 

@@ -90,6 +90,10 @@ def folded_xception_apply(
             continue
         inp = h
         for i, unit in enumerate(bp["units"]):
+            # NOTE: routing entry-flow units through sepconv_unit_pallas was
+            # measured SLOWER than XLA (44.0 vs 39.4 ms/net at B=256) — the
+            # depthwise-intermediate saving does not pay at these shapes, so
+            # entry/exit stay on XLA and only the middle flow uses Pallas.
             if i > 0 or start_with_relu:
                 h = jax.nn.relu(h)
             h = _sep_apply(unit, h, compute_dtype)

@@ -22,7 +22,7 @@ parity tests line up bit-for-bit at fp32.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ runs BN in batch-stats mode during training and keeps updating running stats).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

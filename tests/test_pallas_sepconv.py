@@ -53,6 +53,30 @@ def test_folded_apply_with_pallas_matches_plain():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-3)
 
 
+def test_sepconv_unit_kernel_matches_reference():
+    from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_unit import sepconv_unit_pallas
+
+    rng = jax.random.PRNGKey(4)
+    B, H, W, Cin, Cout = 2, 9, 7, 8, 16  # odd dims exercise stripe remainders
+    ks = jax.random.split(rng, 4)
+    x = jax.random.normal(ks[0], (B, H, W, Cin), jnp.float32)
+    dw = jax.random.normal(ks[1], (9, Cin)) * 0.2
+    pw = jax.random.normal(ks[2], (Cin, Cout)) * 0.1
+    b = jax.random.normal(ks[3], (Cout,)) * 0.05
+
+    h = jax.nn.relu(x)
+    taps = dw.reshape(3, 3, 1, Cin)
+    ref = jax.lax.conv_general_dilated(
+        h, taps, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=Cin,
+    )
+    ref = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", ref, pw) + b, 0.0)
+    out = sepconv_unit_pallas(
+        x, dw, pw, b, leading_relu=True, trailing_relu=True, row_tile=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
 def test_pack_middle_block_shapes():
     params, state = xception_init(jax.random.PRNGKey(3), num_classes=None)
     folded = fold_xception_bn(params, state)
