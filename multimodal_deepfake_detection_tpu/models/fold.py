@@ -89,11 +89,14 @@ def folded_xception_apply(
             h = middle_block_pallas(h, dw, pw, b, interpret=pallas_interpret)
             continue
         inp = h
+        # NOTE: two Pallas alternatives for these entry/exit units were built,
+        # hardware-validated, and measured SLOWER than XLA at B=256 @ 256^2
+        # (PERF.md): per-unit fusion 44.0 ms/net, streamed pair fusion with
+        # manual HBM DMA 79.7 ms/net, vs 39.4 ms with XLA here + Pallas middle
+        # flow. XLA's conv pipeline wins at these bandwidth-bound shapes, so
+        # entry/exit stay on XLA (kernels remain in ops/pallas for shapes
+        # where they pay, and as the base for a double-buffered variant).
         for i, unit in enumerate(bp["units"]):
-            # NOTE: routing entry-flow units through sepconv_unit_pallas was
-            # measured SLOWER than XLA (44.0 vs 39.4 ms/net at B=256) — the
-            # depthwise-intermediate saving does not pay at these shapes, so
-            # entry/exit stay on XLA and only the middle flow uses Pallas.
             if i > 0 or start_with_relu:
                 h = jax.nn.relu(h)
             h = _sep_apply(unit, h, compute_dtype)
