@@ -113,6 +113,13 @@ def cb_focal_loss(
     return _wmean((1 - pt) ** gamma * ce, sample_weight)
 
 
+def clamp_logits(logits: jnp.ndarray, limit: float = 10.0) -> jnp.ndarray:
+    """Numerical guard: clamp logits to +/-limit before a BCE-style loss —
+    the reference's dead-variant stabilizer (``train_visual.py:333``), exposed
+    as a deliberate capability (SURVEY.md §5 NaN/Inf guards)."""
+    return jnp.clip(logits, -limit, limit)
+
+
 def align_mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Cross-modal pooled-feature alignment (train_au_face.py:670)."""
     a, b = _f32(a, b)
