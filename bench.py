@@ -25,6 +25,20 @@ import time
 import numpy as np
 
 
+def _run_with_retry(fn, attempts=3, delay=5.0):
+    """The TPU relay occasionally throws transient FailedPrecondition on
+    process startup (see CLAUDE.md gotchas); never lose the benchmark to it."""
+    last = None
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: broad — relay errors surface variably
+            last = e
+            print(f"[bench] attempt {a + 1}/{attempts} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            time.sleep(delay)
+    raise last
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256)
@@ -50,7 +64,9 @@ def main():
     enable_compilation_cache()
     from multimodal_deepfake_detection_tpu.models.xception import xception_apply, xception_init
 
-    if jax.devices()[0].platform == "cpu":
+    # first backend contact can hit a transient relay FailedPrecondition
+    platform = _run_with_retry(lambda: jax.devices()[0].platform)
+    if platform == "cpu":
         # CPU smoke mode: tiny shapes so the harness stays runnable anywhere;
         # the Pallas kernel is TPU-only (Mosaic), use the XLA path
         args.batch, args.size, args.iters, args.warmup = 4, 64, 3, 1
@@ -90,7 +106,9 @@ def main():
         jnp.asarray(np.random.default_rng(0).random((args.batch, args.size, args.size, 3)), jnp.bfloat16)
     )
 
-    for w in range(args.warmup):
+    # first device use may hit a transient relay fault — retry the warmup
+    _run_with_retry(lambda: float(call(x, jnp.int32(1_000_000))))
+    for w in range(1, args.warmup):
         float(call(x, jnp.int32(1_000_000 + w)))
 
     t0 = time.perf_counter()
