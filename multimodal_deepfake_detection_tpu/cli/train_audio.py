@@ -55,7 +55,8 @@ class Config:
     freeze_backbone: bool = True  # reference freezes Xception (XceptionLSTMA.py:11-12)
     native_loader: bool = False  # C++ batched npy collate (native/npy_collate.cc)
     jsonl_log: Optional[str] = None  # path for structured per-epoch JSONL metrics
-    resume: Optional[str] = None
+    ckpt_backend: str = "npz"  # 'npz' (single-file) | 'orbax' (versioned, preemption-safe)
+    resume: Optional[str] = None  # npz path, or 'auto' with ckpt_backend=orbax
     save_resume_state: bool = True
 
 
@@ -137,11 +138,23 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
     best_path = os.path.join(config.checkpoint_dir, "best_model_audio.npz")
     resume_path = os.path.join(config.checkpoint_dir, "train_audio_state.npz")
 
-    if config.resume:
-        from ..core.checkpoint import load_state
+    orbax_mgr = None
+    if config.ckpt_backend == "orbax":
+        from ..core.orbax_ckpt import OrbaxStateManager
 
-        state = load_state(config.resume, like=state)
-        log(f"resumed train state from {config.resume} (step {int(state.step)})")
+        orbax_mgr = OrbaxStateManager(os.path.join(config.checkpoint_dir, "train_audio_orbax"))
+
+    if config.resume:
+        if orbax_mgr is not None and config.resume == "auto":
+            restored = orbax_mgr.restore_latest(like=state)
+            if restored is not None:
+                state = restored
+                log(f"resumed from orbax step {orbax_mgr.latest_step()}")
+        else:
+            from ..core.checkpoint import load_state
+
+            state = load_state(config.resume, like=state)
+            log(f"resumed train state from {config.resume} (step {int(state.step)})")
 
     def on_best(state, result):
         # best-eval-loss export, reference policy (/root/reference/train_audio.py:84-88)
@@ -156,7 +169,10 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
 
     def on_epoch(state, result):
         if config.save_resume_state:
-            save_state(resume_path, state)
+            if orbax_mgr is not None:
+                orbax_mgr.save(result.epoch + 1, state)
+            else:
+                save_state(resume_path, state)
         if jsonl is not None:
             jsonl.log_epoch(result)
 

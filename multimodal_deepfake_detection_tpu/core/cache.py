@@ -20,6 +20,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     cache_dir = cache_dir or os.environ.get(
         "MDD_COMPILE_CACHE_DIR", os.path.expanduser("~/.cache/mdd_tpu_xla")
     )
+    # per-platform subdirs: CPU AOT artifacts compiled elsewhere reload with
+    # machine-feature mismatch warnings (and SIGILL risk) if shared
+    platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
