@@ -59,7 +59,8 @@ class Config:
     buckets: Tuple[int, ...] = ()
     mask_padding: bool = True
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
-    resume: Optional[str] = None
+    ckpt_backend: str = "npz"  # 'npz' | 'orbax' (versioned, preemption-safe)
+    resume: Optional[str] = None  # npz path, or 'auto' with ckpt_backend=orbax
     save_resume_state: bool = True
 
 
@@ -142,9 +143,21 @@ def main(argv=None, *, log=print):
     os.makedirs(config.checkpoint_dir, exist_ok=True)
     best_path = os.path.join(config.checkpoint_dir, config.bundle_name)
     resume_path = os.path.join(config.checkpoint_dir, "train_au_patch_state.npz")
+    orbax_mgr = None
+    if config.ckpt_backend == "orbax":
+        from ..core.orbax_ckpt import OrbaxStateManager
+
+        orbax_mgr = OrbaxStateManager(os.path.join(config.checkpoint_dir, "train_au_patch_orbax"))
+
     if config.resume:
-        state = load_state(config.resume, like=state)
-        log(f"resumed train state from {config.resume} (step {int(state.step)})")
+        if orbax_mgr is not None and config.resume == "auto":
+            restored = orbax_mgr.restore_latest(like=state)
+            if restored is not None:
+                state = restored
+                log(f"resumed from orbax step {orbax_mgr.latest_step()}")
+        else:
+            state = load_state(config.resume, like=state)
+            log(f"resumed train state from {config.resume} (step {int(state.step)})")
 
     def on_best(state, result):
         save_bundle(best_path, {"model": state.params, "state": state.bn_state})
@@ -158,7 +171,10 @@ def main(argv=None, *, log=print):
 
     def on_epoch(state, result):
         if config.save_resume_state:
-            save_state(resume_path, state)
+            if orbax_mgr is not None:
+                orbax_mgr.save(result.epoch + 1, state)
+            else:
+                save_state(resume_path, state)
         if jsonl is not None:
             jsonl.log_epoch(result)
 
