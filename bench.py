@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -58,7 +59,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(globals().get("__file__", "."))))
     from multimodal_deepfake_detection_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
