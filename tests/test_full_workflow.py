@@ -1,0 +1,70 @@
+"""The complete user workflow, chained through the real CLIs:
+
+    raw videos -> preprocess_faces -> train_visual -> test_visual
+
+i.e. reference layers L0 -> L1 -> L4 end-to-end on synthetic media — the
+migration story a reference user follows, executed in one test.
+"""
+import os
+
+import cv2
+import numpy as np
+
+from multimodal_deepfake_detection_tpu.cli import test_visual, train_visual
+from multimodal_deepfake_detection_tpu.data.preprocess import process_uadfv_faces
+
+
+def _write_video(path, n_frames, base, size=48, seed=0):
+    rng = np.random.default_rng(seed)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (size, size))
+    for _ in range(n_frames):
+        frame = np.clip(rng.normal(base, 20, (size, size, 3)), 0, 255).astype(np.uint8)
+        w.write(frame)
+    w.release()
+
+
+def test_raw_video_to_metrics(tmp_path):
+    # L0 input: raw dataset/{fake,real}/*.avi with a class-dependent signal
+    raw = tmp_path / "dataset"
+    for label, base in (("real", 90), ("fake", 170)):
+        os.makedirs(raw / label)
+        for v in range(2):
+            _write_video(str(raw / label / f"v{v}.avi"), 12, base, seed=v)
+
+    # L0 -> npy trees (small split so 12-frame videos qualify)
+    processed = str(tmp_path / "processed")
+    written = process_uadfv_faces(
+        str(raw), processed, size=32, splits=(("train", 6), ("eval", 3), ("test", 3)),
+        log=lambda s: None,
+    )
+    assert sorted(written) == ["fake_v0", "fake_v1", "real_v0", "real_v1"]
+
+    # L4 train through the CLI
+    ckpt = str(tmp_path / "ckpt")
+    logs = []
+    train_visual.main(
+        [
+            "--train_folder", f"{processed}/train",
+            "--eval_folder", f"{processed}/eval",
+            "--checkpoint_dir", ckpt,
+            "--hidden_dim", "8", "--batch_size", "2", "--epochs", "2",
+            "--freeze_epochs", "1", "--buckets", "6", "--lr", "1e-3",
+            "--compute_dtype", "float32", "--save_resume_state", "false",
+        ],
+        log=logs.append,
+    )
+    bundle = os.path.join(ckpt, "XceptionLSTMV_ArcFace_Best.npz")
+    assert os.path.exists(bundle)
+
+    # L4 eval through the CLI
+    results = test_visual.main(
+        [
+            "--test_folder", f"{processed}/test",
+            "--ckpt_path", bundle,
+            "--hidden_dim", "8", "--batch_size", "2", "--buckets", "3",
+            "--compute_dtype", "float32",
+        ],
+        log=logs.append,
+    )
+    assert results["total_real"] == 2 and results["total_fake"] == 2
+    assert 0.0 <= results["AUC"] <= 1.0 and np.isfinite(results["EER"])
