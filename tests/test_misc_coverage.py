@@ -1,0 +1,74 @@
+"""Remaining public-surface coverage: param placement, profiler trace,
+serve-time resize, config parsing edge cases."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_place_params_tp_split_shapes():
+    from jax.sharding import Mesh
+
+    from multimodal_deepfake_detection_tpu.parallel.sharding import place_params
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    params = {
+        "fc_layers": [{"w": jnp.ones((16, 64)), "b": jnp.zeros(64)}],
+        "backbone": {"conv1": {"w": jnp.ones((3, 3, 3, 32))}},
+    }
+    placed = place_params(mesh, params)
+    w = placed["fc_layers"][0]["w"]
+    # column-split over the model axis: each shard holds 64/2 columns
+    assert {s.data.shape for s in w.addressable_shards} == {(16, 32)}
+    conv = placed["backbone"]["conv1"]["w"]
+    assert {s.data.shape for s in conv.addressable_shards} == {(3, 3, 3, 32)}  # replicated
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    from multimodal_deepfake_detection_tpu.utils.profiling import annotate, trace
+
+    logdir = str(tmp_path / "prof")
+    with trace(logdir):
+        with annotate("matmul"):
+            jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    found = [f for _, _, fs in os.walk(logdir) for f in fs]
+    assert any(f.endswith(".pb") or "trace" in f for f in found), found
+
+
+def test_visual_scorer_resizes_on_device():
+    from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
+
+    params, bn = xception_lstm_init(jax.random.PRNGKey(0), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(1), 8, 2)
+    scorer = VisualScorer(params, bn, frame_size=(64, 64), compute_dtype=jnp.float32, use_pallas=False)
+    # raw frames at a different resolution are resized inside the jit
+    frames = np.random.default_rng(0).integers(0, 255, (2, 2, 96, 80, 3), np.uint8)
+    out = scorer.score(frames)
+    assert out.shape == (2,) and np.isfinite(out).all()
+
+
+def test_config_parser_types_and_tuples():
+    import dataclasses
+    from typing import Optional, Tuple
+
+    from multimodal_deepfake_detection_tpu.core.config import parse_config
+
+    @dataclasses.dataclass
+    class C:
+        n: int = 3
+        f: float = 0.5
+        s: str = "x"
+        flag: bool = False
+        buckets: Tuple[int, ...] = (1, 2)
+        opt: Optional[str] = None
+
+    c = parse_config(C, ["--n", "7", "--f", "1e-3", "--flag", "true", "--buckets", "4,8,12", "--opt", "hello"])
+    assert c.n == 7 and c.f == pytest.approx(1e-3) and c.flag is True
+    assert c.buckets == (4, 8, 12) and c.opt == "hello"
+    assert parse_config(C, []).buckets == (1, 2)
+    with pytest.raises(SystemExit):
+        parse_config(C, ["--nope", "1"])
