@@ -62,7 +62,9 @@ def convert(raw, kind: str, log=print):
         if "arcface" in raw:
             out["arcface"] = arcface_params_from_torch(_unwrap(raw["arcface"]))
         if "embed" in raw:
-            log("[warn] embed-head conversion not yet wired; skipping 'embed'")
+            from ..utils.torch_port import embed_head_params_from_torch
+
+            out["embed"] = embed_head_params_from_torch(_unwrap(raw["embed"]))
         log(f"converted bundle dict as {kind} (+{'arcface' if 'arcface' in raw else ''})")
         return out
 

@@ -105,6 +105,16 @@ def xception_lstm_params_from_torch(sd: Dict):
     return params, {"backbone": bn_state}
 
 
+def embed_head_params_from_torch(sd: Dict) -> Dict:
+    """Convert the AU-face embed head Sequential (LazyLinear(256), ReLU,
+    Dropout, Linear(256,128) — ``/root/reference/train_au_face.py:598-603``;
+    Linear params at Sequential slots 0 and 3) to {fc1, fc2}."""
+    return {
+        "fc1": linear_params_from_torch(sd, "0"),
+        "fc2": linear_params_from_torch(sd, "3"),
+    }
+
+
 def arcface_params_from_torch(sd: Dict, prefix: str = "") -> Dict:
     """ArcFaceHead stores one (num_classes, feat_dim) 'weight' — same layout here."""
     key = (prefix + ".weight") if prefix else "weight"

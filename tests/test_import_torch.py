@@ -49,6 +49,22 @@ def test_import_plain_xception(tmp_path):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=2e-4)
 
 
+def test_embed_head_conversion(tmp_path):
+    torch.manual_seed(3)
+    embed = torch.nn.Sequential(
+        torch.nn.Linear(32, 16), torch.nn.ReLU(), torch.nn.Dropout(0.2), torch.nn.Linear(16, 8)
+    ).eval()
+    from multimodal_deepfake_detection_tpu.models.heads import embed_head_apply
+    from multimodal_deepfake_detection_tpu.utils.torch_port import embed_head_params_from_torch
+
+    params = embed_head_params_from_torch({k: v for k, v in embed.state_dict().items()})
+    x = torch.randn(3, 32)
+    with torch.no_grad():
+        ref = embed(x).numpy()
+    got = embed_head_apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
 def test_import_lstm_head_and_arcface_bundle(tmp_path):
     torch.manual_seed(1)
     m = _MirrorLSTMHead(hidden=8).eval()
