@@ -33,8 +33,45 @@ def _use_pallas_default() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
+def _load_visual_bundle(path: str, hidden_dim: int, seed: int = 0):
+    import jax as _jax
+
+    from ..core.checkpoint import load_bundle, merge_params
+    from .heads import arcface_init, xception_lstm_init
+
+    r1, r2 = _jax.random.split(_jax.random.PRNGKey(seed))
+    params, bn_state = xception_lstm_init(r1, hidden_dim)
+    params["arcface"] = arcface_init(r2, hidden_dim, 2)
+    bundle = load_bundle(path)
+    model = {k: v for k, v in params.items() if k != "arcface"}
+    model = merge_params(model, bundle["model"], strict=True)
+    params = dict(model, arcface=merge_params(params["arcface"], bundle["arcface"], strict=True))
+    if "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
+    return params, bn_state
+
+
+def _load_audio_bundle(path: str, hidden_dim: int, seed: int = 0):
+    import jax as _jax
+
+    from ..core.checkpoint import load_bundle, merge_params
+    from .heads import xception_lstm_init
+
+    params, bn_state = xception_lstm_init(_jax.random.PRNGKey(seed), hidden_dim)
+    bundle = load_bundle(path)
+    params = merge_params(params, bundle["model"], strict=True)
+    if "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
+    return params, bn_state
+
+
 class VisualScorer:
     """XceptionLSTMV + ArcFace scoring on raw uint8 frame stacks."""
+
+    @classmethod
+    def from_bundle(cls, path: str, hidden_dim: int = 128, **kw):
+        """Build directly from a train_visual {model, arcface[, state]} bundle."""
+        return cls(*_load_visual_bundle(path, hidden_dim), **kw)
 
     def __init__(
         self,
@@ -77,6 +114,11 @@ class VisualScorer:
 
 class AudioScorer:
     """XceptionLSTMA scoring straight from raw 16 kHz waveforms."""
+
+    @classmethod
+    def from_bundle(cls, path: str, hidden_dim: int = 512, **kw):
+        """Build directly from a train_audio {model[, state]} bundle."""
+        return cls(*_load_audio_bundle(path, hidden_dim), **kw)
 
     def __init__(
         self,

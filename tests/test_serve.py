@@ -33,6 +33,46 @@ def test_visual_scorer_matches_eval_path():
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_scorers_from_bundle(tmp_path):
+    """from_bundle must reproduce the exact trained weights + BN state."""
+    import os
+
+    from multimodal_deepfake_detection_tpu.cli import train_audio, train_visual
+    from multimodal_deepfake_detection_tpu.data import make_audio_npy_tree, make_face_npy_tree
+
+    faces = make_face_npy_tree(str(tmp_path / "f"), n_per_class=2, frames=2, size=32)
+    auds = make_audio_npy_tree(str(tmp_path / "a"), n_per_class=2, frames=6)
+    ck = str(tmp_path / "ck")
+    common = ["--checkpoint_dir", ck, "--batch_size", "2", "--epochs", "1",
+              "--compute_dtype", "float32", "--save_resume_state", "false"]
+    train_visual.main(
+        ["--train_folder", f"{faces}/train", "--eval_folder", f"{faces}/eval",
+         "--hidden_dim", "8", "--freeze_epochs", "1", "--buckets", "2"] + common,
+        log=lambda s: None,
+    )
+    train_audio.main(
+        ["--train_folder", f"{auds}/train", "--eval_folder", f"{auds}/eval",
+         "--hidden_dim", "8", "--eval_every", "1", "--buckets", "6"] + common,
+        log=lambda s: None,
+    )
+
+    vs = VisualScorer.from_bundle(
+        os.path.join(ck, "XceptionLSTMV_ArcFace_Best.npz"), hidden_dim=8,
+        compute_dtype=jnp.float32, use_pallas=False,
+    )
+    frames = np.random.default_rng(0).integers(0, 255, (2, 2, 32, 32, 3), np.uint8)
+    out_v = vs.score(frames)
+    assert out_v.shape == (2,) and np.isfinite(out_v).all()
+
+    au = AudioScorer.from_bundle(
+        os.path.join(ck, "best_model_audio.npz"), hidden_dim=8,
+        compute_dtype=jnp.float32, use_pallas=False,
+    )
+    wav = np.random.default_rng(1).normal(0, 0.1, (2, 4800)).astype(np.float32)
+    out_a = au.score(wav)
+    assert out_a.shape == (2,) and np.isfinite(out_a).all()
+
+
 def test_audio_scorer_from_waveform():
     params, bn_state = xception_lstm_init(jax.random.PRNGKey(2), 8)
     wav = np.random.default_rng(1).normal(0, 0.1, (2, 4800)).astype(np.float32)
