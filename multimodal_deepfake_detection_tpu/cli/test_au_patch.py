@@ -89,7 +89,7 @@ def main(argv=None, *, log=print):
             bn_state,
             patches,
             weights,
-            lengths=lengths if config.mask_padding else None,
+            lengths=lengths, mask_padding=config.mask_padding,
             train=False,
             compute_dtype=cdtype,
         )
@@ -99,7 +99,7 @@ def main(argv=None, *, log=print):
     def embed(params, bn_state, patches, weights, lengths):
         pooled, _ = au_patch_classifier_apply(
             params, bn_state, patches, weights,
-            lengths=lengths if config.mask_padding else None,
+            lengths=lengths, mask_padding=config.mask_padding,
             train=False, compute_dtype=cdtype, return_pooled=True,
         )
         return pooled

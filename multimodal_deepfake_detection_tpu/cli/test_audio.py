@@ -56,7 +56,7 @@ def main(argv=None, *, test_ds=None, log=print):
         x, labels, lengths = batch
         feats, _ = xception_lstm_features(params, bn_state, x, mode="audio", train=False, compute_dtype=cdtype)
         return xception_lstm_head_apply(
-            params, feats, lengths=lengths if config.mask_padding else None, compute_dtype=cdtype
+            params, feats, lengths=lengths, mask_padding=config.mask_padding, compute_dtype=cdtype
         )
 
     all_probs, all_labels = [], []

@@ -118,12 +118,12 @@ def build_scorer(config: Config, log=print):
         (videos, audios, a_len), labels, v_len = batch
         v_feats, _ = xception_lstm_features(v_params, v_bn, videos, mode="video", train=False, compute_dtype=cdtype)
         emb = xception_lstm_embed(
-            v_params, v_feats, lengths=v_len if config.mask_padding else None, compute_dtype=cdtype
+            v_params, v_feats, lengths=v_len, mask_padding=config.mask_padding, compute_dtype=cdtype
         )
         p_v = jax.nn.softmax(arcface_apply(v_params["arcface"], emb, None, s=config.arcface_s), -1)[:, 1]
         a_feats, _ = xception_lstm_features(a_params, a_bn, audios, mode="audio", train=False, compute_dtype=cdtype)
         p_a = xception_lstm_head_apply(
-            a_params, a_feats, lengths=a_len if config.mask_padding else None, compute_dtype=cdtype
+            a_params, a_feats, lengths=a_len, mask_padding=config.mask_padding, compute_dtype=cdtype
         )[:, 0]
         return p_v.astype(jnp.float32), p_a.astype(jnp.float32)
 

@@ -85,7 +85,7 @@ def build_scorer(config: Config):
             params, bn_state, video, mode="video", train=False, compute_dtype=cdtype
         )
         emb = xception_lstm_embed(
-            params, feats, lengths=lengths if config.mask_padding else None, compute_dtype=cdtype
+            params, feats, lengths=lengths, mask_padding=config.mask_padding, compute_dtype=cdtype
         )
         logits = arcface_apply(params["arcface"], emb, None, s=config.arcface_s)
         return jax.nn.softmax(logits, axis=-1)[:, 1]

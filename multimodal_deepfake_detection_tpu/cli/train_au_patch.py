@@ -108,7 +108,7 @@ def build(config: Config):
             bn_state,
             patches,
             weights,
-            lengths=lengths if config.mask_padding else None,
+            lengths=lengths, mask_padding=config.mask_padding,
             train=train,
             compute_dtype=cdtype,
         )

@@ -97,7 +97,7 @@ def build(config: Config, train_ds=None, eval_ds=None):
             feats,
             train=train,
             rng=rng,
-            lengths=lengths if config.mask_padding else None,
+            lengths=lengths, mask_padding=config.mask_padding,
             compute_dtype=cdtype,
         )
         w = (lengths > 0).astype(jnp.float32)

@@ -130,7 +130,7 @@ def build(config: Config, train_ds=None, eval_ds=None):
             params, bn_state, video, mode="video", train=train, compute_dtype=cdtype
         )
         emb = xception_lstm_embed(
-            params, feats, lengths=lengths if config.mask_padding else None, compute_dtype=cdtype
+            params, feats, lengths=lengths, mask_padding=config.mask_padding, compute_dtype=cdtype
         )
         labels_i = labels.astype(jnp.int32)
         # margin applied with labels in BOTH train and per-epoch eval passes

@@ -94,15 +94,18 @@ def xception_lstm_embed(
     features: jnp.ndarray,
     *,
     lengths: Optional[jnp.ndarray] = None,
+    mask_padding: bool = True,
     compute_dtype=None,
 ) -> jnp.ndarray:
     """LSTM over features, final-step hidden state (B, hidden).
 
     This is the embedding the ArcFace training path taps
     (``model.lstm(features)[0][:, -1, :]``, ``/root/reference/train_visual.py:568-569``).
+    ``mask_padding=False`` + lengths reproduces the reference's pad-consuming
+    ``[:, -1]`` at the batch max length (see ``ops/lstm.select_last_step``).
     """
     outputs, _ = lstm_apply(params["lstm"], features, compute_dtype=compute_dtype)
-    return select_last_step(outputs, lengths)
+    return select_last_step(outputs, lengths, mask_padding=mask_padding)
 
 
 def xception_lstm_head_apply(
@@ -112,6 +115,7 @@ def xception_lstm_head_apply(
     train: bool = False,
     rng=None,
     lengths: Optional[jnp.ndarray] = None,
+    mask_padding: bool = True,
     compute_dtype=None,
     return_logits: bool = False,
 ) -> jnp.ndarray:
@@ -120,7 +124,9 @@ def xception_lstm_head_apply(
     Default output is sigmoid probability (B, 1) like the reference forward;
     ``return_logits`` exposes pre-sigmoid logits for with-logits losses.
     """
-    h = xception_lstm_embed(params, features, lengths=lengths, compute_dtype=compute_dtype)
+    h = xception_lstm_embed(
+        params, features, lengths=lengths, mask_padding=mask_padding, compute_dtype=compute_dtype
+    )
     keys = jax.random.split(rng, 4) if (train and rng is not None) else [None] * 4
     for layer, k in zip(params["fc_layers"], keys):
         h = jax.nn.relu(linear(layer, h, compute_dtype=compute_dtype))

@@ -47,14 +47,21 @@ def au_patch_classifier_apply(
     au_patch_weights: Optional[jnp.ndarray] = None,
     *,
     lengths: Optional[jnp.ndarray] = None,
+    mask_padding: bool = True,
     train: bool = False,
     compute_dtype=None,
     return_pooled: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """patches (B, T, A, H, W, 3), weights (B, T, A) -> logits (B, 1).
 
-    ``lengths`` masks the temporal mean-pool for padded batches (quality
-    mode); omit to match the reference's full-T mean.
+    With ``lengths``, ``mask_padding=True`` (quality mode) masks each sample's
+    temporal mean-pool at its own length. ``mask_padding=False`` (fidelity
+    mode) reproduces the reference's pad-to-batch-max forward exactly even
+    under bucketed collate: the biLSTM's backward scan is state-gated at
+    ``max(lengths)`` and the mean-pool runs over ``t < max(lengths)`` for
+    every sample (the reference mean-pools padded rows too,
+    ``/root/reference/test_au_patch.py:287-293``). ``lengths=None`` is the
+    raw full-bucket forward (exact only when bucket == batch max length).
     ``return_pooled`` exposes the (B, 2*lstm_hidden) pre-classifier embedding
     (the t-SNE export tap, ``test_au_patch.py:287-289``).
     """
@@ -73,11 +80,13 @@ def au_patch_classifier_apply(
         attn = combined / (jnp.sum(combined, axis=2, keepdims=True) + 1e-6)
     attended = jnp.sum(attn.astype(feats.dtype) * feats, axis=2)  # (B,T,hidden)
 
-    lstm_out = bilstm_apply(params["lstm"], attended, compute_dtype=compute_dtype)
+    valid_T = None if (lengths is None or mask_padding) else jnp.max(lengths)
+    lstm_out = bilstm_apply(params["lstm"], attended, compute_dtype=compute_dtype, valid_T=valid_T)
     if lengths is None:
         pooled = jnp.mean(lstm_out.astype(jnp.float32), axis=1)
     else:
-        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+        per_sample = lengths[:, None] if mask_padding else jnp.max(lengths)[None, None]
+        mask = (jnp.arange(T)[None, :] < per_sample).astype(jnp.float32)
         pooled = jnp.sum(lstm_out.astype(jnp.float32) * mask[..., None], axis=1) / jnp.maximum(
             jnp.sum(mask, axis=1, keepdims=True), 1.0
         )

@@ -82,11 +82,13 @@ class VisualScorer:
         frame_size: Optional[Tuple[int, int]] = None,
         compute_dtype=jnp.bfloat16,
         use_pallas: Optional[bool] = None,
+        mask_padding: bool = True,
     ):
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
         self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
         self.arcface_s = arcface_s
         self.frame_size = frame_size
+        self.mask_padding = mask_padding
         self.compute_dtype = compute_dtype
         self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
         self._score = jax.jit(partial(self._score_impl))
@@ -101,7 +103,7 @@ class VisualScorer:
             use_pallas=self.use_pallas,
         ).reshape(B, T, -1)
         outputs, _ = lstm_apply(head["lstm"], feats, compute_dtype=self.compute_dtype)
-        emb = select_last_step(outputs, lengths)
+        emb = select_last_step(outputs, lengths, mask_padding=self.mask_padding)
         logits = arcface_apply(head["arcface"], emb, None, s=self.arcface_s)
         return jax.nn.softmax(logits, axis=-1)[:, 1]
 
@@ -131,7 +133,9 @@ class AudioScorer:
         hop_length: int = 160,
         compute_dtype=jnp.bfloat16,
         use_pallas: Optional[bool] = None,
+        mask_padding: bool = True,
     ):
+        self.mask_padding = mask_padding
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
         self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
         self.mfcc_kw = dict(sr=sr, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length)
@@ -151,7 +155,8 @@ class AudioScorer:
             use_pallas=self.use_pallas,
         ).reshape(B, T, -1)
         return xception_lstm_head_apply(
-            head, feats, lengths=lengths, compute_dtype=self.compute_dtype
+            head, feats, lengths=lengths, mask_padding=self.mask_padding,
+            compute_dtype=self.compute_dtype,
         )[:, 0]
 
     def score(self, waveforms: np.ndarray, frame_lengths: Optional[np.ndarray] = None) -> np.ndarray:

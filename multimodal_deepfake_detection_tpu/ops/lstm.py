@@ -37,8 +37,18 @@ def lstm_init(rng, input_size: int, hidden_size: int, *, dtype=jnp.float32) -> P
     }
 
 
-def _cell_scan(params: Params, x_proj: jnp.ndarray, h0, c0, reverse: bool, compute_dtype):
-    """Scan the recurrence over the time axis of ``x_proj`` (B, T, 4H)."""
+def _cell_scan(params: Params, x_proj: jnp.ndarray, h0, c0, reverse: bool, compute_dtype,
+               valid_T=None):
+    """Scan the recurrence over the time axis of ``x_proj`` (B, T, 4H).
+
+    ``valid_T`` (scalar, static or traced) gates the carry update: steps with
+    ``t >= valid_T`` pass the state through unchanged. A *reverse* scan over a
+    bucket padded past the batch max length would otherwise consume the extra
+    pad rows *first* and corrupt the state for every real step; with the gate,
+    the state stays at init until the scan reaches ``valid_T - 1``, which is
+    bit-identical to the reference's pad-to-batch-max biLSTM
+    (``/root/reference/test_au_patch.py:287-289`` + ``video_dataloader.py:59-64``).
+    """
     hidden = params["w_hh"].shape[0]
     w_hh = params["w_hh"]
     if compute_dtype is not None:
@@ -47,7 +57,8 @@ def _cell_scan(params: Params, x_proj: jnp.ndarray, h0, c0, reverse: bool, compu
         h0 = h0.astype(compute_dtype)
         c0 = c0.astype(compute_dtype)
 
-    def step(carry, xp_t):
+    def step(carry, inp):
+        xp_t, t = inp
         h, c = carry
         gates = xp_t + jnp.dot(h, w_hh, preferred_element_type=xp_t.dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -55,11 +66,16 @@ def _cell_scan(params: Params, x_proj: jnp.ndarray, h0, c0, reverse: bool, compu
         f = jax.nn.sigmoid(f)
         g = jnp.tanh(g)
         o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if valid_T is not None:
+            keep = (t < valid_T)
+            h_new = jnp.where(keep, h_new, h)
+            c_new = jnp.where(keep, c_new, c)
+        return (h_new, c_new), h_new
 
-    xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) — scan over leading axis
+    T = x_proj.shape[1]
+    xs = (jnp.swapaxes(x_proj, 0, 1), jnp.arange(T))  # scan over leading axis
     (h_T, c_T), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1), (h_T, c_T)
 
@@ -70,6 +86,7 @@ def lstm_apply(
     *,
     compute_dtype=None,
     reverse: bool = False,
+    valid_T=None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Run the LSTM over (B, T, D); returns (outputs (B, T, H), (h_T, c_T))."""
     B, T, _ = x.shape
@@ -84,7 +101,7 @@ def lstm_apply(
     x_proj = (x_proj + bias.astype(x_proj.dtype)).reshape(B, T, 4 * hidden)
     h0 = jnp.zeros((B, hidden), x_proj.dtype)
     c0 = jnp.zeros((B, hidden), x_proj.dtype)
-    return _cell_scan(params, x_proj, h0, c0, reverse, compute_dtype)
+    return _cell_scan(params, x_proj, h0, c0, reverse, compute_dtype, valid_T)
 
 
 def bilstm_init(rng, input_size: int, hidden_size: int, *, dtype=jnp.float32) -> Params:
@@ -95,25 +112,49 @@ def bilstm_init(rng, input_size: int, hidden_size: int, *, dtype=jnp.float32) ->
     }
 
 
-def bilstm_apply(params: Params, x: jnp.ndarray, *, compute_dtype=None) -> jnp.ndarray:
-    """Bidirectional LSTM; returns concatenated outputs (B, T, 2H)."""
+def bilstm_apply(params: Params, x: jnp.ndarray, *, compute_dtype=None, valid_T=None) -> jnp.ndarray:
+    """Bidirectional LSTM; returns concatenated outputs (B, T, 2H).
+
+    ``valid_T`` makes the backward pass start from step ``valid_T - 1``
+    instead of the (possibly bucket-padded) array end — see ``_cell_scan``.
+    """
     out_f, _ = lstm_apply(params["fwd"], x, compute_dtype=compute_dtype)
-    out_b, _ = lstm_apply(params["bwd"], x, compute_dtype=compute_dtype, reverse=True)
+    out_b, _ = lstm_apply(params["bwd"], x, compute_dtype=compute_dtype, reverse=True,
+                          valid_T=valid_T)
     return jnp.concatenate([out_f, out_b], axis=-1)
 
 
 def select_last_step(
     outputs: jnp.ndarray,
     lengths: Optional[jnp.ndarray] = None,
+    *,
+    mask_padding: bool = True,
 ) -> jnp.ndarray:
     """Pick the per-sequence final LSTM output.
 
-    ``lengths=None`` reproduces the reference's ``lstm_out[:, -1]`` — which on
-    zero-padded batches reads the *padded* tail
-    (``/root/reference/XceptionLSTMV.py:68`` + ``video_dataloader.py:59-64``).
-    Passing true lengths selects the last *valid* step instead (quality mode).
+    Three behaviors:
+
+    * ``lengths`` given, ``mask_padding=True`` (quality mode, the default in
+      every CLI): each sample's last *valid* step.
+    * ``lengths`` given, ``mask_padding=False`` (fidelity mode): the step at
+      the **batch max length** for every sample. The reference zero-pads each
+      batch to its own max length and reads ``lstm_out[:, -1]``
+      (``/root/reference/XceptionLSTMV.py:68`` + ``video_dataloader.py:59-64``),
+      i.e. short samples' LSTMs consume pad frames up to the batch max. Under
+      bucketed collate (``data/collate.py``) the time axis is padded *past*
+      the batch max to a static bucket boundary, so ``outputs[:, -1]`` would
+      over-run; scan outputs at step t depend only on inputs <= t, so indexing
+      at ``max(lengths) - 1`` is bit-identical to the reference's pad-to-max
+      behavior regardless of the bucket size.
+    * ``lengths=None``: raw ``outputs[:, -1]`` (exact only when the padded
+      width equals the batch max length).
     """
     if lengths is None:
         return outputs[:, -1, :]
-    idx = jnp.clip(lengths - 1, 0, outputs.shape[1] - 1)
+    if mask_padding:
+        idx = jnp.clip(lengths - 1, 0, outputs.shape[1] - 1)
+    else:
+        idx = jnp.broadcast_to(
+            jnp.clip(jnp.max(lengths) - 1, 0, outputs.shape[1] - 1), lengths.shape
+        )
     return jnp.take_along_axis(outputs, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]

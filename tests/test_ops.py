@@ -140,6 +140,73 @@ def test_select_last_step():
     sel = select_last_step(out, lengths=jnp.array([2, 4]))
     np.testing.assert_array_equal(np.asarray(sel[0]), np.asarray(out[0, 1]))
     np.testing.assert_array_equal(np.asarray(sel[1]), np.asarray(out[1, 3]))
+    # fidelity mode: every row reads the batch-max step, not the bucket end
+    sel = select_last_step(out, lengths=jnp.array([2, 3]), mask_padding=False)
+    np.testing.assert_array_equal(np.asarray(sel[0]), np.asarray(out[0, 2]))
+    np.testing.assert_array_equal(np.asarray(sel[1]), np.asarray(out[1, 2]))
+
+
+def test_fidelity_mode_matches_torch_pad_to_max():
+    """--mask_padding false under bucketed collate == torch pad-to-batch-max.
+
+    The reference zero-pads each batch to its own max length
+    (video_dataloader.py:59-64), runs the LSTM over the pad, and reads
+    ``out[:, -1]`` (XceptionLSTMV.py:68). Our collate pads further, to a
+    static bucket boundary; fidelity mode must still produce bit-equal
+    results: forward LSTMs select at max(lengths)-1, and the au-patch
+    biLSTM state-gates its backward scan at max(lengths).
+    """
+    from multimodal_deepfake_detection_tpu.ops.lstm import (
+        bilstm_apply, lstm_apply, select_last_step,
+    )
+    from multimodal_deepfake_detection_tpu.utils.torch_port import lstm_params_from_torch
+
+    torch.manual_seed(8)
+    lengths = np.array([5, 3, 2], np.int32)
+    max_t, bucket_t, D, H = 5, 8, 6, 4
+    seqs = [torch.randn(int(t), D) for t in lengths]
+
+    def _pad(to_t):
+        x = torch.zeros(len(seqs), to_t, D)
+        for i, s in enumerate(seqs):
+            x[i, : s.shape[0]] = s
+        return x
+
+    # --- forward-only LSTM head (XceptionLSTM{V,A}) ---
+    lstm = torch.nn.LSTM(input_size=D, hidden_size=H, num_layers=1, batch_first=True)
+    with torch.no_grad():
+        ref = lstm(_pad(max_t))[0][:, -1, :].numpy()  # reference: pad to batch max
+    sd = {f"lstm.{k}": v for k, v in lstm.state_dict().items()}
+    params = lstm_params_from_torch(sd, "lstm", layer=0)
+    out, _ = lstm_apply(params, jnp.asarray(_pad(bucket_t).numpy()))  # bucket-padded
+    got = select_last_step(out, jnp.asarray(lengths), mask_padding=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+    # --- biLSTM + full-T mean-pool (AU-patch classifier tail) ---
+    bi = torch.nn.LSTM(input_size=D, hidden_size=H, num_layers=1, batch_first=True,
+                       bidirectional=True)
+    with torch.no_grad():
+        ref_pool = bi(_pad(max_t))[0].mean(dim=1).numpy()  # reference mean over batch-max T
+    sd = {f"lstm.{k}": v for k, v in bi.state_dict().items()}
+    p = {
+        "fwd": lstm_params_from_torch(sd, "lstm", layer=0),
+        "bwd": {
+            "w_ih": jnp.asarray(sd["lstm.weight_ih_l0_reverse"].numpy().T),
+            "w_hh": jnp.asarray(sd["lstm.weight_hh_l0_reverse"].numpy().T),
+            "b_ih": jnp.asarray(sd["lstm.bias_ih_l0_reverse"].numpy()),
+            "b_hh": jnp.asarray(sd["lstm.bias_hh_l0_reverse"].numpy()),
+        },
+    }
+    x = jnp.asarray(_pad(bucket_t).numpy())
+    lo = bilstm_apply(p, x, valid_T=jnp.asarray(max_t))
+    mask = (jnp.arange(bucket_t) < max_t).astype(jnp.float32)
+    pooled = jnp.sum(lo * mask[None, :, None], axis=1) / max_t
+    np.testing.assert_allclose(np.asarray(pooled), ref_pool, rtol=1e-5, atol=1e-6)
+
+    # without the valid_T gate the backward scan consumes the bucket pad — must differ
+    lo_bad = bilstm_apply(p, x)
+    bad = jnp.sum(lo_bad * mask[None, :, None], axis=1) / max_t
+    assert not np.allclose(np.asarray(bad), ref_pool, rtol=1e-5, atol=1e-6)
 
 
 def test_resize_bilinear_matches_torch_interpolate():
