@@ -24,6 +24,149 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+def _flagship_loss_grad_and_step(mesh_shape, train_bn, B=8, T=2, S=32, hidden=8):
+    """Flagship train-step pieces on a (data, model) mesh; None = one device.
+
+    Returns (loss, new_bn_state, grads, sgd_updated_params), all on host.
+    ``train_bn`` picks live batch-stat BN (the real train path) vs running-stat
+    BN (well-conditioned, for tight gradient comparison — see the test).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multimodal_deepfake_detection_tpu.models.heads import (
+        xception_lstm_features,
+        xception_lstm_head_apply,
+    )
+    from multimodal_deepfake_detection_tpu.models.losses import bce_loss
+    from multimodal_deepfake_detection_tpu.parallel.sharding import param_shardings
+    import __graft_entry__
+
+    params, bn_state = __graft_entry__._build_flagship(hidden_dim=hidden)
+
+    # The train_audio objective (BCE on sigmoid, /root/reference/train_audio.py:37)
+    # rather than ArcFace: its gradient is well-conditioned (no arccos blow-up at
+    # the near-parallel embeddings an untrained net emits), and it exercises the
+    # TP-split MLP tower, which the ArcFace tap bypasses.
+    def loss_fn(params, bn_state, batch):
+        video, labels, lengths = batch
+        feats, new_bn = xception_lstm_features(
+            params, bn_state, video, mode="video", train=train_bn)
+        probs = xception_lstm_head_apply(params, feats, lengths=lengths)
+        return bce_loss(probs[:, 0], labels), new_bn
+
+    rng = np.random.default_rng(42)
+    video = rng.random((B, T, S, S, 3), np.float32)
+    labels = (np.arange(B) % 2).astype(np.float32)
+    lengths = np.full((B,), T, np.int32)
+    batch = (video, labels, lengths)
+
+    if mesh_shape is not None:
+        mesh = Mesh(np.array(jax.devices()[: mesh_shape[0] * mesh_shape[1]]).reshape(mesh_shape),
+                    ("data", "model"))
+        params = jax.tree_util.tree_map(jax.device_put, params, param_shardings(mesh, params))
+        repl = NamedSharding(mesh, P())
+        bn_state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), bn_state)
+        bs = NamedSharding(mesh, P("data"))
+        batch = tuple(jax.device_put(a, bs) for a in batch)
+
+    tx = optax.sgd(1e-4)
+
+    @jax.jit
+    def step(params, bn_state, batch):
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bn_state, batch)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        return loss, new_bn, grads, optax.apply_updates(params, updates)
+
+    loss, new_bn, grads, new_params = step(params, bn_state, batch)
+    host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    return float(loss), host(new_bn), host(grads), host(new_params)
+
+
+def _tree_rel_norm_diff(ref, got):
+    import jax
+
+    sq_ref = sum(float(np.linalg.norm(x)) ** 2 for x in jax.tree_util.tree_leaves(ref))
+    sq_dif = sum(
+        float(np.linalg.norm(np.asarray(x) - np.asarray(y))) ** 2
+        for x, y in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got))
+    )
+    return (sq_dif ** 0.5) / (sq_ref ** 0.5 + 1e-30)
+
+
+def _assert_grads_match(ref, got, rtol, label):
+    """Per-leaf comparison that treats numerically-annihilated grads correctly.
+
+    A leaf whose reference grad norm is < 1e-3 of the largest leaf's norm is
+    training-negligible AND pure fp32 cancellation noise (its true value is
+    ~0; each shard layout rounds the cancellation differently), so relative
+    comparison is meaningless there — we only require the other run to agree
+    it is negligible. All real leaves must match to ``rtol`` in norm.
+    """
+    import jax
+
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(ref)
+    flat_g, _ = jax.tree_util.tree_flatten_with_path(got)
+    gmax = max(float(np.linalg.norm(np.asarray(x))) for _, x in flat_r)
+    for (path, a), (_, b) in zip(flat_r, flat_g):
+        a, b = np.asarray(a), np.asarray(b)
+        an = float(np.linalg.norm(a))
+        name = jax.tree_util.keystr(path)
+        if an < 1e-3 * gmax:
+            assert float(np.linalg.norm(b)) < 2e-3 * gmax, (
+                f"{label}: negligible-grad leaf {name} became non-negligible")
+        else:
+            rel = float(np.linalg.norm(a - b)) / an
+            assert rel < rtol, f"{label}: grad leaf {name} diverged, rel norm {rel:.2e}"
+
+
+def test_multidevice_training_matches_single_device():
+    """Training semantics: 1 device vs 8-way DP vs 4x2 DP x TP must agree.
+
+    DataParallel-and-beyond semantics (/root/reference/train_audio.py:16-18):
+    one logical program whose loss, BN batch statistics, gradients, and
+    parameter update are identical across mesh shapes.
+
+    Two parts because fp32 noise behaves very differently by BN mode
+    (measured on this exact model):
+
+    * train-mode BN at init is violently ill-conditioned — a 1e-6 input
+      perturbation moves the gradient norm-ratio by 0.3%, and merely
+      permuting batch rows on ONE device moves it 0.3% too (sharding layouts
+      measure 2-90%); free-running trajectories diverge chaotically within 2
+      steps, and fp64 collectives hang on the CPU backend. So for train-mode
+      we assert what is semantically sharp despite the noise: the loss
+      (1.4e-5 observed, vs percent-level for a per-shard-BN bug) and the
+      updated BN running stats (directly encode global batch mean/var).
+    * eval-mode BN is well-conditioned (grad noise 8e-9 under the same
+      perturbation), so gradients and the SGD update are asserted tightly —
+      a sum-instead-of-mean DP reduction (700%) or any TP split that changes
+      math would explode these.
+    """
+    ref = _flagship_loss_grad_and_step(None, train_bn=True)
+    ref_eval = _flagship_loss_grad_and_step(None, train_bn=False)
+    for shape in [(8, 1), (4, 2)]:
+        loss, new_bn, _, _ = _flagship_loss_grad_and_step(shape, train_bn=True)
+        assert abs(loss - ref[0]) / abs(ref[0]) < 1e-3, (
+            f"train-mode global-batch loss diverged on mesh {shape}: {loss} vs {ref[0]}")
+        bn_diff = _tree_rel_norm_diff(ref[1], new_bn)
+        assert bn_diff < 1e-4, (
+            f"BN batch stats are mesh-dependent on {shape}: rel norm {bn_diff:.2e}")
+
+        loss_e, _, grads_e, upd_e = _flagship_loss_grad_and_step(shape, train_bn=False)
+        assert abs(loss_e - ref_eval[0]) / abs(ref_eval[0]) < 1e-5, (
+            f"eval-mode loss diverged on mesh {shape}: {loss_e} vs {ref_eval[0]}")
+        # rtol 1e-3: batch-summed bias grads partially cancel, so per-shard
+        # reduction decomposition leaves ~2e-4 rel noise; a sum-instead-of-mean
+        # DP bug is 7.0 — four orders of magnitude beyond this threshold.
+        _assert_grads_match(ref_eval[2], grads_e, 1e-3, f"mesh {shape}")
+        udiff = _tree_rel_norm_diff(ref_eval[3], upd_e)
+        assert udiff < 1e-6, f"updated params diverged on mesh {shape}: rel norm {udiff:.2e}"
+
+
 def test_param_shardings_tp_split():
     import jax
     import jax.numpy as jnp
