@@ -53,6 +53,10 @@ class Config:
     fpr_target: float = 0.05
     tsne: bool = True
     tsne_max_samples: int = 2000
+    # input-gradient saliency PNGs (the Grad-CAM analog of the reference's
+    # phantom EVM_AU_GradCAM_Model, /root/reference/train_au_face.py:54)
+    saliency_dir: Optional[str] = None
+    saliency_batches: int = 1
     seed: int = 42
 
 
@@ -175,7 +179,37 @@ def main(argv=None, *, log=print):
                 os.path.join(config.output_dir, f"tsne_{name}.png"),
                 seed=config.seed, max_samples=config.tsne_max_samples, log=log,
             )
+
+    if config.saliency_dir:
+        export_saliency(config, loader, params, bn_state, cdtype, log=log)
     return results
+
+
+def export_saliency(config: Config, loader, params, bn_state, cdtype, *, log=print):
+    """Input-gradient saliency PNGs for the first N batches (Grad-CAM analog)."""
+    from ..utils.saliency import input_saliency, save_saliency_grid
+
+    @jax.jit
+    def sal_fn(params, bn_state, videos, patches, au_mask, au_weight):
+        def score(v, p, m, w):
+            logits, *_ = au_face_detector_apply(
+                params, bn_state, v, p, m, w, train=False, compute_dtype=cdtype
+            )
+            return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+
+        return input_saliency(score, videos, patches, au_mask, au_weight), score(
+            videos, patches, au_mask, au_weight
+        )
+
+    for b, (videos, patches, labels, au_mask, au_weight, lengths) in enumerate(loader):
+        if b >= config.saliency_batches:
+            break
+        sal, probs = sal_fn(params, bn_state, videos, patches, au_mask, au_weight)
+        save_saliency_grid(
+            videos, np.asarray(sal),
+            os.path.join(config.saliency_dir, f"saliency_batch{b}.png"),
+            scores=np.asarray(probs), labels=labels, log=log,
+        )
 
 
 if __name__ == "__main__":

@@ -39,6 +39,8 @@ from ..metrics import compute_acc_ap_and_counts, pick_threshold
 from ..models.au_face import au_face_detector_apply, au_face_detector_init
 from ..models.heads import arcface_apply, arcface_init, embed_head_init, embed_head_apply
 from ..models.losses import (
+    adaptive_deepfake_loss,
+    adaptive_loss_init,
     align_mse_loss,
     cb_focal_class_weights,
     cb_focal_loss,
@@ -68,6 +70,10 @@ class Config:
     cb_gamma: float = 2.0
     lambda_align: float = 0.2
     lambda_temp: float = 0.1
+    # AdaptiveDeepfakeLoss: learn the align/temp mixing weights as
+    # sigmoid(alpha), sigmoid(beta) instead of the fixed lambdas
+    # (/root/reference/train_au_face.py:204-227, dead variant)
+    adaptive_loss: bool = False
     batch_size: int = 2
     image_size: int = 128
     max_frames: int = 75
@@ -84,6 +90,7 @@ class Config:
     buckets: Tuple[int, ...] = ()
     fpr_target: float = 0.05
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
+    tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
     ckpt_backend: str = "npz"  # 'npz' | 'orbax' (versioned, preemption-safe)
     resume: Optional[str] = None  # npz path, or 'auto' with ckpt_backend=orbax
     save_resume_state: bool = True
@@ -143,6 +150,8 @@ def build(config: Config):
         "embed": embed_head_init(k2, config.face_dim + config.au_dim, out=config.embed_dim),
         "arcface": arcface_init(k3, config.embed_dim, 2),
     }
+    if config.adaptive_loss:
+        params["adaptive"] = adaptive_loss_init()
     bn_state = {"model": det_state}
 
     steps_per_epoch = max(1, int(np.ceil(len(train_l) / config.accum_steps)))
@@ -181,7 +190,10 @@ def build(config: Config):
         loss_cls = cb_focal_loss(logits, labels_i, class_weights, config.cb_gamma, sample_weight=w)
         loss_align = align_mse_loss(v_pool, au_pool)
         loss_temp = 0.5 * (temporal_smoothness_loss(v_tokens) + temporal_smoothness_loss(au_tokens))
-        loss = loss_cls + config.lambda_align * loss_align + config.lambda_temp * loss_temp
+        if config.adaptive_loss:
+            loss = adaptive_deepfake_loss(params["adaptive"], loss_cls, loss_align, loss_temp)
+        else:
+            loss = loss_cls + config.lambda_align * loss_align + config.lambda_temp * loss_temp
         probs = jax.nn.softmax(logits, axis=-1)[:, 1]
         return loss, (new_bn, probs)
 
@@ -250,11 +262,14 @@ def main(argv=None, *, log=print):
         )
         log(f"New best AUC: {result.eval_metrics['AUC']:.4f} - Model saved.")
 
-    jsonl = None
+    specs = []
     if config.jsonl_log:
-        from ..utils.metric_logger import JsonlLogger
+        specs.append(f"jsonl:{config.jsonl_log}")
+    if config.tracker:
+        specs.append(config.tracker)
+    from ..utils.metric_logger import make_metric_logger
 
-        jsonl = JsonlLogger(config.jsonl_log, run_name="train_au_face", config=config)
+    jsonl = make_metric_logger(specs, run_name="train_au_face", config=config)
 
     def on_epoch(state, result):
         if config.save_resume_state:

@@ -55,6 +55,7 @@ class Config:
     freeze_backbone: bool = True  # reference freezes Xception (XceptionLSTMA.py:11-12)
     native_loader: bool = False  # C++ batched npy collate (native/npy_collate.cc)
     jsonl_log: Optional[str] = None  # path for structured per-epoch JSONL metrics
+    tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
     ckpt_backend: str = "npz"  # 'npz' (single-file) | 'orbax' (versioned, preemption-safe)
     resume: Optional[str] = None  # npz path, or 'auto' with ckpt_backend=orbax
     save_resume_state: bool = True
@@ -161,11 +162,14 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
         save_bundle(best_path, {"model": state.params, "state": state.bn_state})
         log(f"new best model saved -> {best_path}")
 
-    jsonl = None
+    specs = []
     if config.jsonl_log:
-        from ..utils.metric_logger import JsonlLogger
+        specs.append(f"jsonl:{config.jsonl_log}")
+    if config.tracker:
+        specs.append(config.tracker)
+    from ..utils.metric_logger import make_metric_logger
 
-        jsonl = JsonlLogger(config.jsonl_log, run_name="train_audio", config=config)
+    jsonl = make_metric_logger(specs, run_name="train_audio", config=config)
 
     def on_epoch(state, result):
         if config.save_resume_state:

@@ -75,6 +75,7 @@ class Config:
     buckets: Tuple[int, ...] = (25, 50)
     mask_padding: bool = True
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
+    tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
     ckpt_backend: str = "npz"  # 'npz' | 'orbax' (versioned, preemption-safe)
     resume: Optional[str] = None  # npz path, or 'auto' with ckpt_backend=orbax
     save_resume_state: bool = True
@@ -204,11 +205,14 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
         )
         log(f"new best model saved -> {best_path}")
 
-    jsonl = None
+    specs = []
     if config.jsonl_log:
-        from ..utils.metric_logger import JsonlLogger
+        specs.append(f"jsonl:{config.jsonl_log}")
+    if config.tracker:
+        specs.append(config.tracker)
+    from ..utils.metric_logger import make_metric_logger
 
-        jsonl = JsonlLogger(config.jsonl_log, run_name="train_visual", config=config)
+    jsonl = make_metric_logger(specs, run_name="train_visual", config=config)
 
     def on_epoch(state, result):
         if config.save_resume_state:

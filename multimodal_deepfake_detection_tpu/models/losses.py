@@ -132,3 +132,36 @@ def temporal_smoothness_loss(tokens: jnp.ndarray) -> jnp.ndarray:
     if t.shape[1] <= 1:
         return jnp.zeros((), jnp.float32)
     return jnp.mean((t[:, 1:] - t[:, :-1]) ** 2)
+
+
+def adaptive_loss_init() -> dict:
+    """Learnable loss-mixing scalars for AdaptiveDeepfakeLoss.
+
+    The reference's dead-variant module holds two ``nn.Parameter`` scalars
+    ``alpha=0.5`` / ``beta=0.3`` (``/root/reference/train_au_face.py:204-211``,
+    ``train_visual.py`` variant with pos_weight at ``:22-35``). Here they live
+    as a tiny pytree alongside the model params so the optimizer updates them
+    like any other leaf.
+    """
+    return {"alpha": jnp.asarray(0.5, jnp.float32), "beta": jnp.asarray(0.3, jnp.float32)}
+
+
+def adaptive_deepfake_loss(
+    mix_params: dict,
+    loss_cls: jnp.ndarray,
+    loss_align: jnp.ndarray,
+    loss_temp: jnp.ndarray,
+) -> jnp.ndarray:
+    """Adaptively-mixed total objective.
+
+    ``total = cls + sigmoid(alpha) * align + sigmoid(beta) * temp``
+    (``/root/reference/train_au_face.py:212-227``). Component losses come in
+    from the caller so the same mixer serves both reference variants (uniform
+    BCE and pos-weighted BCE) as well as this framework's CB-focal objective.
+    """
+    total = (
+        loss_cls
+        + jax.nn.sigmoid(mix_params["alpha"]) * loss_align
+        + jax.nn.sigmoid(mix_params["beta"]) * loss_temp
+    )
+    return total

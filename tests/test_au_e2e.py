@@ -122,10 +122,15 @@ def test_train_then_test_au_face(joint_tree, tmp_path):
             "--epochs", "2",
             "--compute_dtype", "float32",
             "--save_resume_state", "false",
+            "--adaptive_loss", "true",
+            "--tracker", f"tensorboard:{tmp_path / 'tb'}",
         ],
         log=logs.append,
     )
     assert len(history) == 2 and all(np.isfinite(h.train_loss) for h in history)
+    # tensorboard sink wrote an event file with the per-epoch scalars
+    tb_files = [f for _, _, fs in os.walk(tmp_path / "tb") for f in fs]
+    assert any("tfevents" in f for f in tb_files)
     assert any("Class counts" in l for l in logs)
     assert any("Eval@FPR" in l for l in logs)
     bundle = os.path.join(ckpt, "auface_cross_best_auc_arcface_cb.npz")
@@ -149,8 +154,12 @@ def test_train_then_test_au_face(joint_tree, tmp_path):
             "--max_frames", "3",
             "--compute_dtype", "float32",
             "--tsne", "false",
+            "--saliency_dir", os.path.join(out_dir, "sal"),
+            "--saliency_batches", "1",
         ],
         log=logs.append,
     )
     assert "AUC" in results and "Youden" in results
     assert os.path.exists(os.path.join(out_dir, "scores_and_labels.npz"))
+    # Grad-CAM-analog saliency export (jax.grad of the fake score wrt frames)
+    assert os.path.exists(os.path.join(out_dir, "sal", "saliency_batch0.png"))

@@ -94,3 +94,38 @@ def test_sample_weight_masks_padded_rows():
     ref = float(L.bce_with_logits_loss(jnp.asarray(z[:6]), jnp.asarray(t[:6])))
     got = float(L.bce_with_logits_loss(jnp.asarray(z), jnp.asarray(t), sample_weight=jnp.asarray(w)))
     assert abs(got - ref) < 1e-6
+
+
+def test_adaptive_deepfake_loss_matches_torch_and_learns():
+    """sigmoid(alpha)/sigmoid(beta) mixing == the reference dead-variant module
+    (/root/reference/train_au_face.py:204-227), and the scalars get gradients."""
+    import jax
+    import torch
+
+    mix = L.adaptive_loss_init()
+    assert abs(float(mix["alpha"]) - 0.5) < 1e-6 and abs(float(mix["beta"]) - 0.3) < 1e-6
+
+    logits = RNG.normal(0, 1, (6,)).astype(np.float32)
+    labels = (np.arange(6) % 2).astype(np.float32)
+    v = RNG.normal(0, 1, (2, 5, 4)).astype(np.float32)
+    au = RNG.normal(0, 1, (2, 5, 4)).astype(np.float32)
+
+    # torch reference composition
+    t_cls = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.tensor(logits), torch.tensor(labels))
+    t_align = torch.mean((torch.tensor(v) - torch.tensor(au)) ** 2)
+    t_delta = torch.tensor(v)[:, 1:] - torch.tensor(v)[:, :-1]
+    t_temp = torch.mean(t_delta ** 2)
+    ref = float(t_cls + torch.sigmoid(torch.tensor(0.5)) * t_align
+                + torch.sigmoid(torch.tensor(0.3)) * t_temp)
+
+    loss_cls = L.bce_with_logits_loss(jnp.asarray(logits), jnp.asarray(labels))
+    loss_align = L.align_mse_loss(jnp.asarray(v), jnp.asarray(au))
+    loss_temp = L.temporal_smoothness_loss(jnp.asarray(v))
+    got = float(L.adaptive_deepfake_loss(mix, loss_cls, loss_align, loss_temp))
+    assert abs(got - ref) < 1e-5
+
+    grads = jax.grad(
+        lambda m: L.adaptive_deepfake_loss(m, loss_cls, loss_align, loss_temp))(mix)
+    # d total / d alpha = sigmoid'(alpha) * loss_align > 0 for nonzero align
+    assert float(grads["alpha"]) > 0 and float(grads["beta"]) > 0

@@ -66,3 +66,96 @@ def test_tsne_plot(tmp_path):
     assert os.path.exists(path) and os.path.getsize(path) > 1000
     # empty input: no crash, no file
     assert run_tsne_and_plot(np.zeros((0, 4)), np.zeros(0), "e", str(tmp_path / "e.png"), log=lambda s: None) is None
+
+
+def _epoch_result(epoch=0):
+    from multimodal_deepfake_detection_tpu.train.loop import EpochResult
+
+    return EpochResult(
+        epoch=epoch, train_loss=0.5, train_metrics={"acc": 0.9},
+        eval_loss=0.4, eval_metrics={"AUC": 0.95}, lr=1e-4, seconds=1.2,
+    )
+
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    from multimodal_deepfake_detection_tpu.utils.metric_logger import TensorBoardLogger
+
+    lg = TensorBoardLogger(str(tmp_path), run_name="r", config={"lr": 1e-4})
+    lg.log_epoch(_epoch_result())
+    lg.log(step_time=0.1)
+    lg.close()
+    files = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert any("tfevents" in f for f in files)
+
+
+def test_wandb_logger_with_fake_module(monkeypatch, tmp_path):
+    """WandbLogger drives the reference's wandb API surface
+    (init/config.update/log/finish, /root/reference/train_visual.py:14,82-92)."""
+    import sys, types
+
+    calls = {"log": [], "init": [], "config": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw) or types.SimpleNamespace(**kw)
+    fake.config = types.SimpleNamespace(update=lambda d: calls["config"].append(d))
+    fake.log = lambda scalars, step=None: calls["log"].append((scalars, step))
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from multimodal_deepfake_detection_tpu.utils.metric_logger import WandbLogger
+
+    lg = WandbLogger("proj", run_name="r", config={"lr": 1e-4})
+    lg.log_epoch(_epoch_result(epoch=3))
+    lg.close()
+    assert calls["init"][0]["project"] == "proj" and calls["init"][0]["resume"] is True
+    assert calls["config"] == [{"lr": 1e-4}]
+    scalars, step = calls["log"][0]
+    assert step == 3
+    assert scalars["Loss/Train"] == 0.5 and scalars["AUC/Eval"] == 0.95
+    assert scalars["Epoch Time"] == 1.2  # reference key style (train_visual.py:133-137)
+    assert calls["finish"] == 1
+
+
+def test_make_metric_logger_multi_and_errors(tmp_path, monkeypatch):
+    from multimodal_deepfake_detection_tpu.utils import metric_logger as M
+
+    assert M.make_metric_logger([]) is None
+    assert M.make_metric_logger(None) is None
+
+    lg = M.make_metric_logger(
+        f"jsonl:{tmp_path / 'm.jsonl'},tensorboard:{tmp_path / 'tb'}", run_name="r")
+    assert isinstance(lg, M.MultiLogger) and len(lg.loggers) == 2
+    lg.log_epoch(_epoch_result())
+    lg.close()
+    assert (tmp_path / "m.jsonl").exists()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.make_metric_logger(["tensorboard"])  # missing arg
+    with pytest.raises(ValueError):
+        M.make_metric_logger(["mlflow:x"])  # unknown kind
+
+
+def test_input_saliency_unit():
+    """Saliency of a known quadratic score is the analytic |2x| map."""
+    import jax.numpy as jnp
+    from multimodal_deepfake_detection_tpu.utils.saliency import input_saliency, normalize_map
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 4, 4, 3)).astype(np.float32))
+    score = lambda v: jnp.sum(v.astype(jnp.float32) ** 2, axis=(1, 2, 3, 4))
+    sal = np.asarray(input_saliency(score, x))
+    ref = np.max(np.abs(2 * np.asarray(x)), axis=-1)
+    np.testing.assert_allclose(sal, ref, rtol=1e-6)
+    n = normalize_map(sal)
+    assert n.min() >= 0 and n.max() <= 1
+
+
+def test_saliency_grid_png(tmp_path):
+    from multimodal_deepfake_detection_tpu.utils.saliency import save_saliency_grid
+
+    frames = np.random.default_rng(1).random((2, 3, 8, 8, 3)).astype(np.float32)
+    sal = np.random.default_rng(2).random((2, 3, 8, 8)).astype(np.float32)
+    path = save_saliency_grid(
+        frames, sal, str(tmp_path / "sal" / "g.png"),
+        scores=np.array([0.2, 0.9]), labels=np.array([0, 1]), log=lambda *_: None)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
