@@ -15,22 +15,59 @@ inference replacing per-clip Python loops):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+from ..data.collate import bucket_length
 from ..ops.lstm import lstm_apply, select_last_step
 from ..ops.mfcc import mfcc as mfcc_op
 from ..ops.resize import resize_bilinear
+from ..parallel.mesh import data_sharding, replicate
 from .fold import fold_xception_bn, folded_xception_apply
 from .heads import arcface_apply, xception_lstm_head_apply
 
 
 def _use_pallas_default() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
+
+
+class _ShardedScoringMixin:
+    """Mesh-sharded batch scoring shared by the serving engines.
+
+    With a ``mesh`` (any ``jax.sharding.Mesh`` with a ``data`` axis), params
+    are replicated across the slice and each scoring batch is split over
+    ``data`` — the jitted program is identical to single-chip, XLA inserts the
+    collectives, and results gather back to the host. The batch is padded up
+    to a multiple of the data-axis size with ``lengths == 0`` rows that are
+    dropped from the returned scores (BASELINE config-5: batched sharded
+    inference over a slice).
+    """
+
+    def _init_mesh(self, mesh) -> None:
+        self.mesh = mesh
+        if mesh is None:
+            return
+        if "data" not in mesh.axis_names:
+            raise ValueError(f"serving mesh needs a 'data' axis, got {mesh.axis_names}")
+        self._data_size = int(mesh.shape["data"])
+        self.folded_backbone = replicate(mesh, self.folded_backbone)
+        self.head_params = replicate(mesh, self.head_params)
+
+    def _shard_batch_rows(self, arrays, B: int):
+        """Pad every array's leading dim to a multiple of the data-axis size
+        and place it split over ``data``. Returns the placed arrays."""
+        pad = (-B) % self._data_size
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            if pad:
+                a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            out.append(jax.device_put(a, data_sharding(self.mesh)))
+        return out
 
 
 def _load_visual_bundle(path: str, hidden_dim: int, seed: int = 0):
@@ -65,7 +102,7 @@ def _load_audio_bundle(path: str, hidden_dim: int, seed: int = 0):
     return params, bn_state
 
 
-class VisualScorer:
+class VisualScorer(_ShardedScoringMixin):
     """XceptionLSTMV + ArcFace scoring on raw uint8 frame stacks."""
 
     @classmethod
@@ -83,6 +120,8 @@ class VisualScorer:
         compute_dtype=jnp.bfloat16,
         use_pallas: Optional[bool] = None,
         mask_padding: bool = True,
+        mesh=None,
+        buckets: Optional[Sequence[int]] = None,
     ):
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
         self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
@@ -91,6 +130,10 @@ class VisualScorer:
         self.mask_padding = mask_padding
         self.compute_dtype = compute_dtype
         self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
+        # length buckets: pad T up to a bucket so the jit sees a small, fixed
+        # set of shapes instead of one compile per distinct clip length
+        self.buckets = tuple(buckets) if buckets else None
+        self._init_mesh(mesh)
         self._score = jax.jit(partial(self._score_impl))
 
     def _score_impl(self, backbone, head, frames_u8, lengths):
@@ -109,12 +152,24 @@ class VisualScorer:
 
     def score(self, frames_u8: np.ndarray, lengths: Optional[np.ndarray] = None) -> np.ndarray:
         """frames_u8: (B, T, H, W, 3) uint8 -> fake probabilities (B,)."""
+        B, T = frames_u8.shape[:2]
         if lengths is None:
-            lengths = np.full((frames_u8.shape[0],), frames_u8.shape[1], np.int32)
-        return np.asarray(self._score(self.folded_backbone, self.head_params, frames_u8, lengths))
+            lengths = np.full((B,), T, np.int32)
+        if self.buckets:
+            Tb = bucket_length(T, self.buckets)
+            if Tb > T:
+                pad = np.zeros((B, Tb - T) + frames_u8.shape[2:], frames_u8.dtype)
+                frames_u8 = np.concatenate([frames_u8, pad], axis=1)
+            elif Tb < T:  # longer than the largest bucket: truncate (collate contract)
+                frames_u8 = frames_u8[:, :Tb]
+                lengths = np.minimum(lengths, Tb)
+        if self.mesh is not None:
+            frames_u8, lengths = self._shard_batch_rows((frames_u8, lengths), B)
+        out = self._score(self.folded_backbone, self.head_params, frames_u8, lengths)
+        return np.asarray(out)[:B]
 
 
-class AudioScorer:
+class AudioScorer(_ShardedScoringMixin):
     """XceptionLSTMA scoring straight from raw 16 kHz waveforms."""
 
     @classmethod
@@ -134,6 +189,7 @@ class AudioScorer:
         compute_dtype=jnp.bfloat16,
         use_pallas: Optional[bool] = None,
         mask_padding: bool = True,
+        mesh=None,
     ):
         self.mask_padding = mask_padding
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
@@ -141,6 +197,7 @@ class AudioScorer:
         self.mfcc_kw = dict(sr=sr, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length)
         self.compute_dtype = compute_dtype
         self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
+        self._init_mesh(mesh)
         self._score = jax.jit(self._score_impl)
 
     def _score_impl(self, backbone, head, waveforms, lengths):
@@ -161,5 +218,11 @@ class AudioScorer:
 
     def score(self, waveforms: np.ndarray, frame_lengths: Optional[np.ndarray] = None) -> np.ndarray:
         """waveforms: (B, samples) float -> fake probabilities (B,)."""
+        B = waveforms.shape[0]
+        if self.mesh is not None:
+            if frame_lengths is None:
+                waveforms, = self._shard_batch_rows((waveforms,), B)
+            else:
+                waveforms, frame_lengths = self._shard_batch_rows((waveforms, frame_lengths), B)
         out = self._score(self.folded_backbone, self.head_params, waveforms, frame_lengths)
-        return np.asarray(out)
+        return np.asarray(out)[:B]
