@@ -54,6 +54,12 @@ def main():
         action=argparse.BooleanOptionalAction,
         help="fused Pallas middle-flow blocks (default on; --no-pallas for XLA-only)",
     )
+    parser.add_argument(
+        "--mfu",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="also measure relay-free device time via chained K-differencing and report MFU",
+    )
     args = parser.parse_args()
 
     import jax
@@ -118,16 +124,87 @@ def main():
     dt = time.perf_counter() - t0
 
     frames_per_sec = args.batch * args.iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "xception_face_frames_per_sec_per_chip",
-                "value": round(frames_per_sec, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(frames_per_sec / 5000.0, 3),
-            }
+    record = {
+        "metric": "xception_face_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / 5000.0, 3),
+    }
+
+    if args.mfu and not args.no_fold_bn and platform != "cpu":
+        # Relay-free device time: chain the net K times inside one jit, each
+        # iteration's input data-dependent on the previous output (a runtime
+        # scalar no XLA pass can factor out or CSE — unlike a scalar multiply
+        # by a constant-per-call step index), and difference two K values so
+        # the call floor, input upload, and prologue cancel.
+        def make_chain(K):
+            @jax.jit
+            def chain(p, xin, i):
+                h = xin * (1.0 + i.astype(jnp.float32) * 1e-6).astype(xin.dtype)
+
+                def body(_, carry):
+                    h, acc = carry
+                    from multimodal_deepfake_detection_tpu.models.fold import folded_xception_apply
+
+                    s = jnp.sum(
+                        folded_xception_apply(p, h, compute_dtype=cdtype, use_pallas=use_pallas).astype(jnp.float32)
+                    )
+                    # data-dependent, numerically-null re-perturbation
+                    h = (h.astype(jnp.float32) * (1.0 + s * 1e-38)).astype(xin.dtype)
+                    return h, acc + s
+
+                _, acc = jax.lax.fori_loop(0, K, body, (h, jnp.float32(0.0)))
+                return acc
+
+            return lambda i: chain(weights, x, jnp.int32(i))
+
+        def timed(fn, iters=6):
+            float(fn(999_999))
+            t0 = time.perf_counter()
+            vals = [fn(i) for i in range(iters)]
+            _ = sum(float(v) for v in vals)
+            return (time.perf_counter() - t0) / iters
+
+        ka, kb = 2, 6
+        device_s = (timed(make_chain(kb)) - timed(make_chain(ka))) / (kb - ka)
+        flops = xception_net_flops(args.batch, args.size)
+        peak = 197e12  # v5e bf16 peak; the one real chip behind the relay
+        record.update(
+            device_ms_per_batch=round(device_s * 1e3, 2),
+            frames_per_sec_device=round(args.batch / device_s, 1),
+            mfu=round(flops / device_s / peak, 4),
+            net_gflops_per_batch=round(flops / 1e9, 1),
         )
-    )
+
+    print(json.dumps(record))
+
+
+def xception_net_flops(batch: int, size: int) -> int:
+    """Conv/matmul FLOPs of one folded-Xception forward (multiply+add = 2)."""
+    from multimodal_deepfake_detection_tpu.models.xception import XCEPTION_BLOCK_SPECS, _block_unit_channels
+
+    total = 0
+
+    def conv(h, w, cin, cout, k=1, groups=1):
+        return h * w * (cin // groups) * cout * k * k * 2
+
+    h = (size - 3) // 2 + 1  # conv1 s2 p0
+    total += conv(h, h, 3, 32, 3)
+    h = h - 2  # conv2 p0
+    total += conv(h, h, 32, 64, 3)
+    c = 64
+    for spec in XCEPTION_BLOCK_SPECS:
+        _, _, _, stride, _, _ = spec
+        for cin, cout in _block_unit_channels(spec):
+            total += conv(h, h, cin, cin, 3, groups=cin) + conv(h, h, cin, cout)
+        if stride != 1:
+            ho = (h + 2 * 1 - 3) // stride + 1
+            total += conv(ho, ho, c, spec[1])  # projection skip
+            h = ho
+        c = spec[1]
+    total += conv(h, h, 1024, 1024, 3, groups=1024) + conv(h, h, 1024, 1536)
+    total += conv(h, h, 1536, 1536, 3, groups=1536) + conv(h, h, 1536, 2048)
+    return total * batch
 
 
 if __name__ == "__main__":

@@ -77,7 +77,7 @@ def folded_xception_apply(
     fused VMEM-resident Pallas kernel (ops/pallas/sepconv_block.py).
     """
     if use_pallas:
-        from ..ops.pallas.sepconv_block import is_middle_block, middle_block_pallas, pack_middle_block
+        from ..ops.pallas.sepconv_block import is_middle_block, middle_block_pallas_v2, pack_middle_block
 
     h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype))
     h = jax.nn.relu(conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype))
@@ -86,7 +86,14 @@ def folded_xception_apply(
         _, _, _, stride, start_with_relu, _ = spec
         if use_pallas and stride == 1 and start_with_relu and is_middle_block(bp):
             dw, pw, b = pack_middle_block(bp)
-            h = middle_block_pallas(h, dw, pw, b, interpret=pallas_interpret)
+            # v2 kernel, measured-best config (tools/microbench.py middle,
+            # PERF.md round 2): fp32 tap accumulation (bit-identical to v1 and
+            # FASTER than bf16 accumulation on the fp32-native VPU), per-image
+            # dots for VPU/MXU overlap, 4 images per grid step.
+            h = middle_block_pallas_v2(
+                h, dw, pw, b, interpret=pallas_interpret,
+                images_per_step=4, precise=True, per_image_dot=True,
+            )
             continue
         inp = h
         # NOTE: two Pallas alternatives for these entry/exit units were built,

@@ -116,6 +116,126 @@ def middle_block_pallas(x, dw, pw, b, *, interpret: bool = False, images_per_ste
     return out.reshape(B, H, W, C)
 
 
+def _block_kernel_v2(
+    x_ref, dw_ref, pw_ref, b_ref, out_ref, pad_ref,
+    *, H, W, C, reps, ips, acc_dtype, pad_dtype, per_image_dot,
+):
+    """Round-2 rewrite of ``_block_kernel`` (same math, leaner data movement).
+
+    Measured changes vs v1 (PERF.md round 2):
+    * the zero margin of the padded scratch is written ONCE per grid-step
+      pass (scratch persists; only the interior changes per rep) instead of a
+      full (ips, HW+2W+2, C) memset every rep;
+    * the depthwise taps accumulate directly as VALUES (no fp32 ``acc_ref``
+      VMEM staging round-trip) and feed the MXU matmul straight;
+    * tap accumulation dtype is a parameter: bf16 halves the VPU/spill
+      traffic (serving default), fp32 reproduces v1 bit-behavior;
+    * inter-rep activations round-trip as bf16 (relu+cast fused into the
+      matmul epilogue) rather than fp32 values;
+    * weights arrive pre-cast (dw/pw bf16) — no in-kernel weight conversion.
+    """
+    HW = H * W
+    O = W + 1
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+    wpos = row_ids % W
+    m_left = (wpos != 0).astype(acc_dtype)
+    m_right = (wpos != W - 1).astype(acc_dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():  # zero margins once; interior is overwritten every rep
+        pad_ref[:, :O, :] = jnp.zeros((ips, O, C), pad_dtype)
+        pad_ref[:, O + HW :, :] = jnp.zeros((ips, W + 1, C), pad_dtype)
+
+    def dw_taps(r, src):
+        """src: (n, HW, C) or (HW, C) slice view base — returns depthwise sum."""
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                start = dy * W + dx
+                tap = dw_ref[r, dy * 3 + dx, :].astype(acc_dtype)
+                contrib = src(start).astype(acc_dtype) * tap
+                if dx == 0:
+                    contrib = contrib * m_left
+                elif dx == 2:
+                    contrib = contrib * m_right
+                acc = contrib if acc is None else acc + contrib
+        return acc
+
+    interior = jnp.maximum(x_ref[:], 0).astype(pad_dtype)  # (ips, HW, C)
+    for r in range(reps):
+        pad_ref[:, O : O + HW, :] = interior
+        if per_image_dot:
+            # separate dots per image: image k+1's depthwise (VPU) can overlap
+            # image k's pointwise (MXU) in the Mosaic schedule
+            outs = []
+            for k in range(ips):
+                acc = dw_taps(r, lambda s, k=k: pad_ref[k, s : s + HW, :])
+                outs.append(
+                    jnp.dot(
+                        acc.astype(jnp.bfloat16), pw_ref[r], preferred_element_type=jnp.float32
+                    )
+                )
+            out2 = jnp.stack(outs) + b_ref[r][None, None, :]
+        else:
+            acc = dw_taps(r, lambda s: pad_ref[:, s : s + HW, :])
+            out2 = (
+                jnp.dot(
+                    acc.reshape(ips * HW, C).astype(jnp.bfloat16),
+                    pw_ref[r],
+                    preferred_element_type=jnp.float32,
+                )
+                + b_ref[r][None, :]
+            ).reshape(ips, HW, C)
+        if r + 1 < reps:
+            interior = jnp.maximum(out2, 0.0).astype(pad_dtype).reshape(ips, HW, C)
+    out_ref[:] = (out2.reshape(ips, HW, C) + x_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "images_per_step", "precise", "pad_fp32", "per_image_dot"))
+def middle_block_pallas_v2(
+    x, dw, pw, b, *, interpret: bool = False, images_per_step: int = 2, precise: bool = False,
+    pad_fp32: bool = False, per_image_dot: bool = False,
+):
+    """Leaner fused middle-flow residual block (see ``_block_kernel_v2``).
+
+    Same contract as :func:`middle_block_pallas`. ``precise=True`` accumulates
+    the depthwise taps in fp32 (v1 behavior); the default bf16 accumulation
+    is the serving path (inference-grade: |rel err| ~1e-2 on the block output,
+    indistinguishable at the net's sigmoid/argmax outputs — tests pin this).
+    """
+    B, H, W, C = x.shape
+    reps, HW = dw.shape[0], H * W
+    ips = images_per_step
+    while B % ips:
+        ips //= 2
+    ips = max(ips, 1)
+    x2 = x.reshape(B, HW, C)
+    acc_dtype = jnp.float32 if precise else jnp.bfloat16
+    pad_dtype = jnp.float32 if pad_fp32 else jnp.bfloat16
+    kernel = partial(
+        _block_kernel_v2, H=H, W=W, C=C, reps=reps, ips=ips, acc_dtype=acc_dtype,
+        pad_dtype=pad_dtype, per_image_dot=per_image_dot,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // ips,),
+        in_specs=[
+            pl.BlockSpec((ips, HW, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((reps, 9, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((reps, C, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((reps, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((ips, HW, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, HW, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ips, HW + 2 * W + 2, C), pad_dtype),
+        ],
+        interpret=interpret,
+    )(x2, dw.astype(jnp.float32), pw.astype(jnp.bfloat16), b.astype(jnp.float32))
+    return out.reshape(B, H, W, C)
+
+
 def pack_middle_block(folded_block):
     """One ``fold_xception_bn(...)['blocks'][i]`` (middle-flow) ->
     (dw (reps, 9, C), pw (reps, C, C), b (reps, C))."""

@@ -43,6 +43,33 @@ def test_middle_block_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
+def test_middle_block_kernel_v2_variants_match_v1():
+    """v2 (round-2 rewrite) must be bit-identical to v1 in precise mode and
+    within bf16-accumulation tolerance otherwise, across grid/packing configs
+    (multi-step grids exercise the zero-margins-once scratch reuse)."""
+    from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_block import middle_block_pallas_v2
+
+    rng = jax.random.PRNGKey(7)
+    B, H, W, C, reps = 8, 8, 8, 16, 3
+    ks = jax.random.split(rng, 4)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32)
+    dw = jax.random.normal(ks[1], (reps, 9, C)) * 0.2
+    pw = jax.random.normal(ks[2], (reps, C, C)) * 0.1
+    b = jax.random.normal(ks[3], (reps, C)) * 0.05
+    v1 = np.asarray(middle_block_pallas(x, dw, pw, b, interpret=True))
+    for kwargs in (
+        dict(precise=True, images_per_step=1),
+        dict(precise=True, images_per_step=4),
+        dict(precise=True, images_per_step=4, per_image_dot=True),
+        dict(precise=True, images_per_step=2, pad_fp32=True),
+    ):
+        v2 = np.asarray(middle_block_pallas_v2(x, dw, pw, b, interpret=True, **kwargs))
+        np.testing.assert_allclose(v2, v1, rtol=2e-2, atol=2e-2, err_msg=str(kwargs))
+    # bf16 accumulation: inference-grade tolerance
+    v2f = np.asarray(middle_block_pallas_v2(x, dw, pw, b, interpret=True, precise=False))
+    np.testing.assert_allclose(v2f, v1, rtol=6e-2, atol=6e-2)
+
+
 def test_folded_apply_with_pallas_matches_plain():
     params, state = xception_init(jax.random.PRNGKey(1), num_classes=3)
     folded = fold_xception_bn(params, state)
