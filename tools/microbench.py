@@ -147,6 +147,27 @@ def bench_entry(args):
         hb = conv2d({"w": pw1.reshape(1, 1, Cout, Cout).astype(jnp.bfloat16)}, hb) + b1
         return hb.astype(jnp.bfloat16)
 
+    def pair_xla_nodw(h):
+        # ablation: both depthwise convs removed — isolates XLA's dw cost
+        if lead:
+            h = jax.nn.relu(h)
+        hb = h.astype(jnp.bfloat16)
+        hb = conv2d({"w": pw0.reshape(1, 1, Cin, Cout).astype(jnp.bfloat16)}, hb) + b0
+        hb = jax.nn.relu(hb).astype(jnp.bfloat16)
+        hb = conv2d({"w": pw1.reshape(1, 1, Cout, Cout).astype(jnp.bfloat16)}, hb) + b1
+        return hb.astype(jnp.bfloat16)
+
+    def pair_xla_nopw(h):
+        # ablation: only the two depthwise convs (plus a 1x1 to fix Cout)
+        if lead:
+            h = jax.nn.relu(h)
+        hb = h.astype(jnp.bfloat16)
+        hb = conv2d({"w": dw0.reshape(3, 3, 1, Cin).astype(jnp.bfloat16)}, hb, stride=1, padding=1, groups=Cin)
+        hb = conv2d({"w": pw0.reshape(1, 1, Cin, Cout).astype(jnp.bfloat16)}, hb) + b0
+        hb = jax.nn.relu(hb).astype(jnp.bfloat16)
+        hb = conv2d({"w": dw1.reshape(3, 3, 1, Cout).astype(jnp.bfloat16)}, hb, stride=1, padding=1, groups=Cout)
+        return hb.astype(jnp.bfloat16)
+
     def pair_stream(h):
         from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_stream import sepconv_pair_stream_pallas
 
@@ -158,7 +179,15 @@ def bench_entry(args):
         from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_stream2 import sepconv_pair_stream2_pallas
 
         return sepconv_pair_stream2_pallas(
-            h, dw0, pw0, b0, dw1, pw1, b1, leading_relu0=lead, stripe_rows=args.stripe_rows
+            h, dw0, pw0, b0, dw1, pw1, b1, leading_relu0=lead, row_chunk=args.row_chunk
+        )
+
+    def pair_stream_v2_roll(h):
+        from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_stream2 import sepconv_pair_stream2_pallas
+
+        return sepconv_pair_stream2_pallas(
+            h, dw0, pw0, b0, dw1, pw1, b1, leading_relu0=lead, row_chunk=args.row_chunk,
+            dx_roll=True,
         )
 
     def whole_block(pair):
@@ -174,7 +203,14 @@ def bench_entry(args):
 
         return blk
 
-    variants = {"xla": pair_xla, "stream": pair_stream, "stream2": pair_stream_v2}
+    variants = {
+        "xla": pair_xla,
+        "xla_nodw": pair_xla_nodw,
+        "xla_nopw": pair_xla_nopw,
+        "stream": pair_stream,
+        "stream2": pair_stream_v2,
+        "stream2roll": pair_stream_v2_roll,
+    }
     flops = B * (H * H * Cin * Cout * 2 + H * H * Cout * Cout * 2)  # the two pointwise convs
     results = {}
     for name, pair in variants.items():
@@ -208,6 +244,7 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--block", type=int, default=2, help="entry block index 1..3")
     p.add_argument("--stripe-rows", type=int, default=32)
+    p.add_argument("--row-chunk", type=int, default=512)
     # both K's must put device time well above the relay's ~30 ms call floor
     p.add_argument("--ka", type=int, default=26)
     p.add_argument("--kb", type=int, default=80)
