@@ -58,7 +58,7 @@ def _chunks(total, th):
 def _stream2_kernel(
     x_hbm, dw0_ref, pw0_ref, b0_ref, dw1_ref, pw1_ref, b1_ref, out_ref,
     xs_ref, mid_ref, sem,
-    *, H, W, W2, Cin, Cmid, SH, TH0, TH1, n_stripes, dx_roll,
+    *, H, W, W2, Cin, Cmid, SH, TH0, TH1, n_stripes, dx_roll, ablate,
 ):
     img = pl.program_id(0)
     s = pl.program_id(1)
@@ -103,6 +103,9 @@ def _stream2_kernel(
         flattened position 0 / n-1 — border columns, masked or sliced away
         downstream — so no edge fixup is needed.
         """
+        if ablate == "notap":  # perf diagnosis: center tap only (1 load, 1 mul)
+            start = r_off + W2 + 1
+            return src_ref[pl.ds(start, n), :].astype(jnp.float32) * dw_ref[4, :][None, :]
         if not dx_roll:
             acc = None
             for dy in range(3):
@@ -133,10 +136,17 @@ def _stream2_kernel(
     # border-column mask: cols 0 and >= W+1 of each W2-row must be zero in mid
     col = jax.lax.broadcasted_iota(jnp.int32, (TH0 * W2, 1), 0) % W2
     mvalid0 = ((col >= 1) & (col <= W)).astype(jnp.float32)
+    def pw(acc, pw_ref):
+        if ablate == "nomm":  # perf diagnosis: lane-tile instead of the MXU dot
+            cout = pw_ref.shape[1]
+            reps_c = -(-cout // acc.shape[1])
+            return jnp.concatenate([acc] * reps_c, axis=1)[:, :cout]
+        return jnp.dot(acc.astype(jnp.bfloat16), pw_ref[:], preferred_element_type=jnp.float32)
+
     for c0, rows in _chunks(n_mid, TH0):
         n = rows * W2
         acc = dw9(xs_ref.at[slot], c0, n, dw0_ref, (c0 + 1) * W2 - 1)
-        m = jnp.dot(acc.astype(jnp.bfloat16), pw0_ref[:], preferred_element_type=jnp.float32)
+        m = pw(acc, pw0_ref)
         m = jnp.maximum(m + b0_ref[0][None, :], 0.0) * mvalid0[:n]
         mid_ref[pl.ds((c0 + 2) * W2, n), :] = m.astype(jnp.bfloat16)
 
@@ -158,16 +168,16 @@ def _stream2_kernel(
     for o0, rows in _chunks(SH, TH1):
         n = rows * W2
         acc = dw9(mid_ref, o0, n, dw1_ref, (o0 + 2) * W2 - 1)
-        o = jnp.dot(acc.astype(jnp.bfloat16), pw1_ref[:], preferred_element_type=jnp.float32)
+        o = pw(acc, pw1_ref)
         o = o + b1_ref[0][None, :]
         out_ref[0, pl.ds(o0 * W2, n), :] = o.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("leading_relu0", "stripe_rows", "row_chunk", "dx_roll", "interpret"))
+@partial(jax.jit, static_argnames=("leading_relu0", "stripe_rows", "row_chunk", "dx_roll", "ablate", "interpret"))
 def sepconv_pair_stream2_pallas(
     x, dw0, pw0, b0, dw1, pw1, b1, *, leading_relu0: bool = False,
     stripe_rows: int = 0, row_chunk: int = 512, dx_roll: bool = False,
-    interpret: bool = False,
+    ablate: str = "", interpret: bool = False,
 ):
     """Streamed fused sepconv pair, take 3: (B, H, W, Cin) -> (B, H, W, Cout).
 
@@ -218,7 +228,7 @@ def sepconv_pair_stream2_pallas(
 
     kernel = partial(
         _stream2_kernel, H=H, W=W, W2=W2, Cin=Cin, Cmid=Cmid, SH=SH,
-        TH0=TH0, TH1=TH1, n_stripes=n_stripes, dx_roll=dx_roll,
+        TH0=TH0, TH1=TH1, n_stripes=n_stripes, dx_roll=dx_roll, ablate=ablate,
     )
     out = pl.pallas_call(
         kernel,

@@ -110,3 +110,62 @@ def test_pack_middle_block_shapes():
     middle = [bp for bp in folded["blocks"] if is_middle_block(bp)][0]
     dw, pw, b = pack_middle_block(middle)
     assert dw.shape == (3, 9, 728) and pw.shape == (3, 728, 728) and b.shape == (3, 728)
+
+
+def test_fused_entry_blocks_match_plain(monkeypatch):
+    """Whole-block entry fusion (sepconv_entry.py) incl. the padded-boundary
+    chaining between consecutive fused blocks: force fusion of the block
+    shapes a 64^2 input produces (H = 29, 15 — below the TPU perf gate) and
+    compare against the plain folded path."""
+    monkeypatch.setenv("MDFD_ENTRY_FUSE_H", "29,15")
+    params, state = xception_init(jax.random.PRNGKey(3), num_classes=3)
+    folded = fold_xception_bn(params, state)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    ref = folded_xception_apply(folded, x)
+    out = folded_xception_apply(folded, x, use_pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-3)
+
+
+def test_fused_entry_block_op_matches_xla():
+    """entry_block_pallas vs XLA pair+pool+skip on odd/even H, Cmid != Cout,
+    and lane-unaligned channels (the pad path)."""
+    from multimodal_deepfake_detection_tpu.ops.conv import conv2d, max_pool2d
+    from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_entry import entry_block
+
+    rng = np.random.default_rng(0)
+    for (H, Cin, Cmid, Cout, lead) in [
+        (12, 64, 128, 128, False), (13, 128, 256, 256, True), (10, 16, 40, 40, True),
+        (9, 40, 16, 32, False),
+    ]:
+        B = 2
+        x = jnp.asarray(rng.standard_normal((B, H, H, Cin)) * 0.5, jnp.bfloat16)
+        dw0 = jnp.asarray(rng.standard_normal((9, Cin)) * 0.1, jnp.float32)
+        pw0 = jnp.asarray(rng.standard_normal((Cin, Cmid)) * 0.02, jnp.float32)
+        b0 = jnp.asarray(rng.standard_normal((Cmid,)) * 0.01, jnp.float32)
+        dw1 = jnp.asarray(rng.standard_normal((9, Cmid)) * 0.1, jnp.float32)
+        pw1 = jnp.asarray(rng.standard_normal((Cmid, Cout)) * 0.02, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((Cout,)) * 0.01, jnp.float32)
+        skw = jnp.asarray(rng.standard_normal((Cin, Cout)) * 0.02, jnp.float32)
+        skb = jnp.asarray(rng.standard_normal((Cout,)) * 0.01, jnp.float32)
+
+        h = x.astype(jnp.float32)
+        if lead:
+            h = jax.nn.relu(h)
+        hb = h.astype(jnp.bfloat16)
+        hb = conv2d({"w": dw0.reshape(3, 3, 1, Cin).astype(jnp.bfloat16)}, hb, stride=1, padding=1, groups=Cin)
+        hb = conv2d({"w": pw0.reshape(1, 1, Cin, Cmid).astype(jnp.bfloat16)}, hb.astype(jnp.bfloat16)) + b0
+        hb = jax.nn.relu(hb).astype(jnp.bfloat16)
+        hb = conv2d({"w": dw1.reshape(3, 3, 1, Cmid).astype(jnp.bfloat16)}, hb, stride=1, padding=1, groups=Cmid)
+        hb = conv2d({"w": pw1.reshape(1, 1, Cmid, Cout).astype(jnp.bfloat16)}, hb.astype(jnp.bfloat16)) + b1
+        u = max_pool2d(hb.astype(jnp.bfloat16), 3, 2, 1)
+        skip = conv2d({"w": skw.reshape(1, 1, Cin, Cout).astype(jnp.bfloat16)}, x.astype(jnp.bfloat16), stride=2, padding=0) + skb
+        want = u.astype(jnp.float32) + skip.astype(jnp.float32)
+
+        got = entry_block(
+            x, dw0, pw0, b0, dw1, pw1, b1, skw, skb,
+            leading_relu0=lead, row_chunk=96, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=3e-2, atol=3e-2, err_msg=f"H={H} {Cin}->{Cmid}->{Cout}",
+        )

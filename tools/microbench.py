@@ -187,8 +187,13 @@ def bench_entry(args):
 
         return sepconv_pair_stream2_pallas(
             h, dw0, pw0, b0, dw1, pw1, b1, leading_relu0=lead, row_chunk=args.row_chunk,
-            dx_roll=True,
+            dx_roll=True, ablate=args.ablate,
         )
+
+    def pair_entry3(h):
+        from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_entry import entry_pair
+
+        return entry_pair(h, dw0, pw0, b0, dw1, pw1, b1, leading_relu0=lead, row_chunk=args.row_chunk)
 
     def whole_block(pair):
         def blk(h):
@@ -203,6 +208,18 @@ def bench_entry(args):
 
         return blk
 
+    def block_fused(h):
+        # whole block in one kernel (pair + pool + skip); same chain proj
+        from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_entry import entry_block
+
+        out = entry_block(
+            h, dw0, pw0, b0, dw1, pw1, b1, skip_w[0, 0], jnp.zeros((Cout,), jnp.float32),
+            leading_relu0=lead, row_chunk=args.row_chunk,
+        ).astype(jnp.bfloat16)
+        p = conv2d({"w": proj_w}, out)
+        p = jnp.repeat(jnp.repeat(p, 2, axis=1), 2, axis=2)[:, :H, :H, :]
+        return p.astype(jnp.bfloat16)
+
     variants = {
         "xla": pair_xla,
         "xla_nodw": pair_xla_nodw,
@@ -210,13 +227,15 @@ def bench_entry(args):
         "stream": pair_stream,
         "stream2": pair_stream_v2,
         "stream2roll": pair_stream_v2_roll,
+        "entry3": pair_entry3,
+        "blockfused": block_fused,
     }
     flops = B * (H * H * Cin * Cout * 2 + H * H * Cout * Cout * 2)  # the two pointwise convs
     results = {}
     for name, pair in variants.items():
         if args.only and args.only not in name:
             continue
-        block = whole_block(pair)
+        block = pair if name == "blockfused" else whole_block(pair)
 
         def make_runk(K, block=block):
             @jax.jit
@@ -245,6 +264,8 @@ def main():
     p.add_argument("--block", type=int, default=2, help="entry block index 1..3")
     p.add_argument("--stripe-rows", type=int, default=32)
     p.add_argument("--row-chunk", type=int, default=512)
+    p.add_argument("--ablate", default="", choices=["", "notap", "nomm"],
+                   help="stream2roll diagnosis: drop taps or the MXU dot")
     # both K's must put device time well above the relay's ~30 ms call floor
     p.add_argument("--ka", type=int, default=26)
     p.add_argument("--kb", type=int, default=80)
