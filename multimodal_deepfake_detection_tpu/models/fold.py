@@ -87,9 +87,19 @@ def _prefix_apply(params, x, *, upto: str, compute_dtype=None, use_pallas: bool 
         _, _, _, stride, start_with_relu, _ = spec
         logical_w = vw or h.shape[2]
         if use_pallas and stride == 2 and is_fusable_entry_block(bp, (0, h.shape[1], logical_w)):
-            h = entry_block_pallas(
-                h, *pack_entry_block(bp), leading_relu0=start_with_relu, valid_w=vw,
-            ).astype(h.dtype)
+            if h.shape[1] > 96:  # too tall for whole-image VMEM: striped kernel
+                from ..ops.pallas.sepconv_entry_striped import entry_block_striped_pallas
+
+                if vw:  # striped kernel takes dense input
+                    h = h[:, :, :vw, :]
+                    vw = 0
+                h = entry_block_striped_pallas(
+                    h, *pack_entry_block(bp), leading_relu0=start_with_relu,
+                ).astype(h.dtype)
+            else:
+                h = entry_block_pallas(
+                    h, *pack_entry_block(bp), leading_relu0=start_with_relu, valid_w=vw,
+                ).astype(h.dtype)
             vw = (logical_w + 1) // 2
         else:
             if vw:
@@ -149,11 +159,22 @@ def folded_xception_apply(
         if use_pallas and stride == 2 and is_fusable_entry_block(bp, (0, h.shape[1], logical_w)):
             # whole-block fusion: [relu] -> sepconv pair -> maxpool3x3/s2 ->
             # + skip conv, one kernel, one HBM read of h, pooled-only write
-            # (ops/pallas/sepconv_entry.py; measured vs XLA in PERF.md r2)
-            h = entry_block_pallas(
-                h, *pack_entry_block(bp), leading_relu0=start_with_relu,
-                valid_w=vw, interpret=pallas_interpret,
-            ).astype(h.dtype)
+            # (ops/pallas/sepconv_entry[_striped].py; measured in PERF.md r2)
+            if h.shape[1] > 96:  # too tall for whole-image VMEM: striped
+                from ..ops.pallas.sepconv_entry_striped import entry_block_striped_pallas
+
+                if vw:  # striped kernel takes dense input
+                    h = h[:, :, :vw, :]
+                    vw = 0
+                h = entry_block_striped_pallas(
+                    h, *pack_entry_block(bp), leading_relu0=start_with_relu,
+                    interpret=pallas_interpret,
+                ).astype(h.dtype)
+            else:
+                h = entry_block_pallas(
+                    h, *pack_entry_block(bp), leading_relu0=start_with_relu,
+                    valid_w=vw, interpret=pallas_interpret,
+                ).astype(h.dtype)
             vw = (logical_w + 1) // 2
             continue
         if vw:  # densify for a non-fused consumer

@@ -169,3 +169,47 @@ def test_fused_entry_block_op_matches_xla():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=3e-2, atol=3e-2, err_msg=f"H={H} {Cin}->{Cmid}->{Cout}",
         )
+
+
+def test_striped_entry_block_matches_xla():
+    """entry_block_striped_pallas: multi-stripe pooling carry, odd/even H,
+    ragged pooled-row emission, Cmid != Cout (interpret mode)."""
+    from multimodal_deepfake_detection_tpu.ops.conv import conv2d, max_pool2d
+    from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_entry_striped import entry_block_striped
+
+    rng = np.random.default_rng(1)
+    for (H, Cin, Cmid, Cout, lead, SH) in [
+        (15, 8, 16, 16, False, 5), (12, 8, 8, 24, True, 4), (9, 16, 8, 16, True, 3),
+    ]:
+        B = 2
+        x = jnp.asarray(rng.standard_normal((B, H, H, Cin)) * 0.5, jnp.bfloat16)
+        dw0 = jnp.asarray(rng.standard_normal((9, Cin)) * 0.1, jnp.float32)
+        pw0 = jnp.asarray(rng.standard_normal((Cin, Cmid)) * 0.02, jnp.float32)
+        b0 = jnp.asarray(rng.standard_normal((Cmid,)) * 0.01, jnp.float32)
+        dw1 = jnp.asarray(rng.standard_normal((9, Cmid)) * 0.1, jnp.float32)
+        pw1 = jnp.asarray(rng.standard_normal((Cmid, Cout)) * 0.02, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((Cout,)) * 0.01, jnp.float32)
+        skw = jnp.asarray(rng.standard_normal((Cin, Cout)) * 0.02, jnp.float32)
+        skb = jnp.asarray(rng.standard_normal((Cout,)) * 0.01, jnp.float32)
+
+        h = x.astype(jnp.float32)
+        if lead:
+            h = jax.nn.relu(h)
+        hb = h.astype(jnp.bfloat16)
+        hb = conv2d({"w": dw0.reshape(3, 3, 1, Cin).astype(jnp.bfloat16)}, hb, stride=1, padding=1, groups=Cin)
+        hb = conv2d({"w": pw0.reshape(1, 1, Cin, Cmid).astype(jnp.bfloat16)}, hb.astype(jnp.bfloat16)) + b0
+        hb = jax.nn.relu(hb).astype(jnp.bfloat16)
+        hb = conv2d({"w": dw1.reshape(3, 3, 1, Cmid).astype(jnp.bfloat16)}, hb, stride=1, padding=1, groups=Cmid)
+        hb = conv2d({"w": pw1.reshape(1, 1, Cmid, Cout).astype(jnp.bfloat16)}, hb.astype(jnp.bfloat16)) + b1
+        u = max_pool2d(hb.astype(jnp.bfloat16), 3, 2, 1)
+        skip = conv2d({"w": skw.reshape(1, 1, Cin, Cout).astype(jnp.bfloat16)}, x.astype(jnp.bfloat16), stride=2, padding=0) + skb
+        want = u.astype(jnp.float32) + skip.astype(jnp.float32)
+
+        got = entry_block_striped(
+            x, dw0, pw0, b0, dw1, pw1, b1, skw, skb,
+            leading_relu0=lead, stripe_rows=SH, row_chunk=96, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=3e-2, atol=3e-2, err_msg=f"H={H} SH={SH}",
+        )
