@@ -49,6 +49,13 @@ def main():
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--no-fold-bn", action="store_true", help="disable inference BN folding")
     parser.add_argument(
+        "--train",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="also measure full train-step (fwd+bwd+Adam, live BN) throughput",
+    )
+    parser.add_argument("--train-batch", type=int, default=64)
+    parser.add_argument(
         "--pallas",
         default=True,
         action=argparse.BooleanOptionalAction,
@@ -175,6 +182,66 @@ def main():
             mfu=round(flops / device_s / peak, 4),
             net_gflops_per_batch=round(flops / 1e9, 1),
         )
+
+    if args.train and platform != "cpu":
+        # Training throughput: full Xception train step (fwd + bwd + Adam,
+        # live BN, bf16 compute / fp32 params) chained state->state inside
+        # one jit; the per-iteration rng seed is folded from the loop index
+        # so iterations cannot be CSE'd. Same K-differencing as above.
+        try:
+            import optax
+
+            from multimodal_deepfake_detection_tpu.train.state import TrainState
+            from multimodal_deepfake_detection_tpu.train.steps import make_train_step
+
+            tb = args.train_batch
+
+            def loss_forward(p, bn, rng, batch):
+                xin, y = batch
+                logits, new_bn = xception_apply(p, bn, xin, train=True, compute_dtype=cdtype)
+                probs = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+                loss = -jnp.mean(
+                    y * jnp.log(probs + 1e-7) + (1 - y) * jnp.log(1 - probs + 1e-7)
+                )
+                return loss, (new_bn, probs)
+
+            tx = optax.adam(1e-4)
+            tstep = make_train_step(loss_forward, tx)
+            xt = jnp.asarray(
+                np.random.default_rng(1).random((tb, args.size, args.size, 3)), jnp.bfloat16
+            )
+            yt = jnp.asarray(np.arange(tb) % 2, jnp.float32)
+            state0 = TrainState(0, params, state, tx.init(params), None)
+
+            def timed(fn, iters=6):  # local: the mfu block's timed is optional
+                float(fn(999_999))
+                t0 = time.perf_counter()
+                vals = [fn(i) for i in range(iters)]
+                _ = sum(float(v) for v in vals)
+                return (time.perf_counter() - t0) / iters
+
+            def make_tchain(K):
+                @jax.jit
+                def chain(st, i):
+                    def body(t, carry):
+                        st, acc = carry
+                        st, loss, _ = tstep(st, (xt, yt), i * K + t)
+                        return st, acc + loss
+
+                    _, acc = jax.lax.fori_loop(0, K, body, (st, jnp.float32(0.0)))
+                    return acc
+
+                return lambda i: chain(state0, jnp.int32(i))
+
+            tka, tkb = 2, 6
+            tdev = (timed(make_tchain(tkb)) - timed(make_tchain(tka))) / (tkb - tka)
+            record.update(
+                train_step_ms=round(tdev * 1e3, 2),
+                train_batch=tb,
+                train_frames_per_sec=round(tb / tdev, 1),
+            )
+        except Exception as e:  # never lose the serving benchmark to this
+            print(f"[bench] train measurement failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(json.dumps(record))
 
