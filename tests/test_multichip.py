@@ -179,11 +179,21 @@ def test_param_shardings_tp_split():
     params = {
         "fc_layers": [{"w": jnp.zeros((16, 64)), "b": jnp.zeros(64)}],
         "lstm": {"w_ih": jnp.zeros((8, 32)), "w_hh": jnp.zeros((8, 32))},
-        "backbone": {"conv1": {"w": jnp.zeros((3, 3, 3, 32))}},
+        "backbone": {
+            "conv1": {"w": jnp.zeros((3, 3, 3, 32))},
+            "bn1": {"scale": jnp.zeros(32), "bias": jnp.zeros(32)},
+            # output channels not divisible by model=2... (33) stays replicated
+            "odd": {"w": jnp.zeros((3, 3, 3, 33))},
+            "small": {"w": jnp.zeros((1, 1, 4, 8))},  # < 32 ch: replicated
+        },
     }
     sh = param_shardings(mesh, params)
     assert sh["fc_layers"][0]["w"].spec == P(None, "model")
     assert sh["fc_layers"][0]["b"].spec == P("model")
     assert sh["lstm"]["w_ih"].spec == P(None, "model")
     assert sh["lstm"]["w_hh"].spec == P()
-    assert sh["backbone"]["conv1"]["w"].spec == P()
+    # conv backbones are output-channel tensor-parallel (round 2)
+    assert sh["backbone"]["conv1"]["w"].spec == P(None, None, None, "model")
+    assert sh["backbone"]["bn1"]["scale"].spec == P("model")
+    assert sh["backbone"]["odd"]["w"].spec == P()
+    assert sh["backbone"]["small"]["w"].spec == P()
