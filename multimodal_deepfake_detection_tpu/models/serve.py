@@ -47,6 +47,8 @@ class _ShardedScoringMixin:
     inference over a slice).
     """
 
+    _param_attrs = ("folded_backbone", "head_params")  # replicated over the mesh
+
     def _init_mesh(self, mesh) -> None:
         self.mesh = mesh
         if mesh is None:
@@ -54,8 +56,8 @@ class _ShardedScoringMixin:
         if "data" not in mesh.axis_names:
             raise ValueError(f"serving mesh needs a 'data' axis, got {mesh.axis_names}")
         self._data_size = int(mesh.shape["data"])
-        self.folded_backbone = replicate(mesh, self.folded_backbone)
-        self.head_params = replicate(mesh, self.head_params)
+        for attr in self._param_attrs:
+            setattr(self, attr, replicate(mesh, getattr(self, attr)))
 
     def _shard_batch_rows(self, arrays, B: int):
         """Pad every array's leading dim to a multiple of the data-axis size
@@ -225,4 +227,101 @@ class AudioScorer(_ShardedScoringMixin):
             else:
                 waveforms, frame_lengths = self._shard_batch_rows((waveforms, frame_lengths), B)
         out = self._score(self.folded_backbone, self.head_params, waveforms, frame_lengths)
+        return np.asarray(out)[:B]
+
+
+def _load_au_face_bundle(path: str, *, num_aus: int = 17, lstm_hidden: int = 256, seed: int = 0):
+    """Flexible AU-face bundle load (mirrors cli/test_au_face.py:63-84 —
+    the reference's flexible checkpoint unwrapping, /root/reference/
+    test_au_face.py:107-141): {model: ...} or bare tree, strict -> non-strict
+    fallback, optional bn state."""
+    from ..core.checkpoint import load_bundle, merge_params
+    from .au_face import au_face_detector_init
+
+    params, bn_state = au_face_detector_init(
+        jax.random.PRNGKey(seed), num_aus=num_aus,
+        face_dim=2 * lstm_hidden, au_dim=2 * lstm_hidden, lstm_hidden=lstm_hidden,
+    )
+    bundle = load_bundle(path)
+    tree = bundle.get("model", bundle)
+    try:
+        params = merge_params(params, tree, strict=True)
+    except (KeyError, ValueError):
+        params = merge_params(params, tree, strict=False)
+    if isinstance(bundle, dict) and "state" in bundle:
+        bn_state = merge_params(bn_state, bundle["state"], strict=False)
+    return params, bn_state
+
+
+class AUFaceScorer(_ShardedScoringMixin):
+    """Cross-modal AU+face scoring (AUFaceCrossDetector) on raw uint8 inputs.
+
+    Scores with the model's own logits head — sigmoid(logits[:, 0]) — exactly
+    as the reference eval harness does (/root/reference/test_au_face.py:
+    147-184 via cli/test_au_face.py). Completes serving coverage of the third
+    model family next to VisualScorer (ArcFace visual) and AudioScorer.
+    """
+
+    _param_attrs = ("params", "bn_state")
+
+    @classmethod
+    def from_bundle(cls, path: str, num_aus: int = 17, lstm_hidden: int = 256, **kw):
+        """Build from a train_au_face {model[, embed, arcface, state]} bundle."""
+        return cls(*_load_au_face_bundle(path, num_aus=num_aus, lstm_hidden=lstm_hidden), **kw)
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        *,
+        compute_dtype=jnp.bfloat16,
+        frame_size: Optional[Tuple[int, int]] = None,
+        patch_size: Optional[Tuple[int, int]] = None,
+        mesh=None,
+    ):
+        self.params = jax.device_put(params)
+        self.bn_state = jax.device_put(bn_state)
+        self.compute_dtype = compute_dtype
+        self.frame_size = frame_size
+        self.patch_size = patch_size
+        self._init_mesh(mesh)
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, params, bn_state, videos_u8, patches_u8, au_mask, au_weight):
+        from .au_face import au_face_detector_apply
+
+        def prep(u8, size):
+            x = u8.astype(jnp.float32) / 255.0
+            if size is not None and x.shape[-3:-1] != tuple(size):
+                flat = x.reshape((-1,) + x.shape[-3:])
+                x = resize_bilinear(flat, size).reshape(x.shape[:-3] + tuple(size) + (3,))
+            return x
+
+        videos = prep(videos_u8, self.frame_size)
+        patches = prep(patches_u8, self.patch_size)
+        logits, _, _, _ = au_face_detector_apply(
+            params, bn_state, videos, patches, au_mask, au_weight,
+            train=False, compute_dtype=self.compute_dtype,
+        )
+        return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+
+    def score(
+        self,
+        videos_u8: np.ndarray,
+        au_patches_u8: np.ndarray,
+        au_mask: Optional[np.ndarray] = None,
+        au_weight: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """videos_u8: (B, T, H, W, 3); au_patches_u8: (B, Ta, A, h, w, 3)
+        uint8 -> fake probabilities (B,)."""
+        B = videos_u8.shape[0]
+        Ta, A = au_patches_u8.shape[1:3]
+        if au_mask is None:
+            au_mask = np.ones((B, Ta, A), np.float32)
+        if au_weight is None:
+            au_weight = np.ones((B, Ta, A), np.float32)
+        arrays = (videos_u8, au_patches_u8, au_mask, au_weight)
+        if self.mesh is not None:
+            arrays = self._shard_batch_rows(arrays, B)
+        out = self._score(self.params, self.bn_state, *arrays)
         return np.asarray(out)[:B]

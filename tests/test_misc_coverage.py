@@ -24,7 +24,8 @@ def test_place_params_tp_split_shapes():
     # column-split over the model axis: each shard holds 64/2 columns
     assert {s.data.shape for s in w.addressable_shards} == {(16, 32)}
     conv = placed["backbone"]["conv1"]["w"]
-    assert {s.data.shape for s in conv.addressable_shards} == {(3, 3, 3, 32)}  # replicated
+    # conv kernels are output-channel tensor-parallel (round 2): 32/2 per shard
+    assert {s.data.shape for s in conv.addressable_shards} == {(3, 3, 3, 16)}
 
 
 def test_profiler_trace_writes_artifacts(tmp_path):

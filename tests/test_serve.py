@@ -139,3 +139,50 @@ def test_sharded_audio_scorer_matches_single_chip():
     got = sharded.score(wav)
     assert got.shape == (3,)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_au_face_scorer_single_vs_sharded(tmp_path):
+    """AUFaceScorer: sigmoid-logits scoring parity with the eval path, bundle
+    round-trip, and mesh-sharded == single-chip (third model family served)."""
+    from multimodal_deepfake_detection_tpu.core.checkpoint import save_bundle
+    from multimodal_deepfake_detection_tpu.models.au_face import (
+        au_face_detector_apply,
+        au_face_detector_init,
+    )
+    from multimodal_deepfake_detection_tpu.models.serve import AUFaceScorer
+    from multimodal_deepfake_detection_tpu.parallel.mesh import make_mesh
+
+    params, bn = au_face_detector_init(
+        jax.random.PRNGKey(0), num_aus=4, face_dim=16, au_dim=16, lstm_hidden=8
+    )
+    rng = np.random.default_rng(0)
+    B, T, A = 3, 2, 4  # B=3: exercises mesh row padding
+    videos = rng.integers(0, 255, (B, T, 24, 24, 3), np.uint8)
+    patches = rng.integers(0, 255, (B, T, A, 16, 16, 3), np.uint8)
+
+    single = AUFaceScorer(params, bn, compute_dtype=jnp.float32)
+    probs = single.score(videos, patches)
+    assert probs.shape == (B,)
+
+    # parity with the raw eval forward (cli/test_au_face scoring semantics)
+    logits, _, _, _ = au_face_detector_apply(
+        params, bn,
+        jnp.asarray(videos, jnp.float32) / 255.0,
+        jnp.asarray(patches, jnp.float32) / 255.0,
+        jnp.ones((B, T, A)), jnp.ones((B, T, A)),
+        train=False, compute_dtype=jnp.float32,
+    )
+    ref = np.asarray(jax.nn.sigmoid(logits[:, 0]))
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)
+
+    # bundle round-trip through the flexible loader
+    save_bundle(str(tmp_path / "auf.npz"), {"model": params, "state": bn})
+    loaded = AUFaceScorer.from_bundle(
+        str(tmp_path / "auf.npz"), num_aus=4, lstm_hidden=8, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(loaded.score(videos, patches), probs, rtol=1e-5, atol=1e-6)
+
+    # sharded over the 8-device virtual mesh == single chip
+    mesh = make_mesh(devices=jax.devices()[:8])
+    sharded = AUFaceScorer(params, bn, compute_dtype=jnp.float32, mesh=mesh)
+    np.testing.assert_allclose(sharded.score(videos, patches), probs, rtol=1e-5, atol=1e-6)
