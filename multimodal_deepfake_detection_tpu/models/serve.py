@@ -325,3 +325,79 @@ class AUFaceScorer(_ShardedScoringMixin):
             arrays = self._shard_batch_rows(arrays, B)
         out = self._score(self.params, self.bn_state, *arrays)
         return np.asarray(out)[:B]
+
+
+class AUPatchScorer(_ShardedScoringMixin):
+    """AU-patch ResNet-LSTM scoring (AUPatchResNetClassifierWithAUAttention)
+    on raw uint8 patch stacks — plain sigmoid scores, the reference eval
+    semantics (/root/reference/test_au_patch.py:473 via cli/test_au_patch.py).
+    Completes serving coverage of all four model families.
+    """
+
+    _param_attrs = ("params", "bn_state")
+
+    @classmethod
+    def from_bundle(cls, path: str, hidden_dim: int = 128, lstm_hidden: int = 128, **kw):
+        """Build from a train_au_patch {model[, state]} bundle."""
+        from ..core.checkpoint import load_bundle, merge_params
+        from .resnet_lstm import au_patch_classifier_init
+
+        params, bn_state = au_patch_classifier_init(
+            jax.random.PRNGKey(0), hidden_dim=hidden_dim, lstm_hidden=lstm_hidden
+        )
+        bundle = load_bundle(path)
+        params = merge_params(params, bundle.get("model", bundle), strict=True)
+        if isinstance(bundle, dict) and "state" in bundle:
+            bn_state = merge_params(bn_state, bundle["state"], strict=False)
+        return cls(params, bn_state, **kw)
+
+    def __init__(
+        self,
+        params,
+        bn_state,
+        *,
+        compute_dtype=jnp.bfloat16,
+        patch_size: Optional[Tuple[int, int]] = None,
+        mask_padding: bool = True,
+        mesh=None,
+    ):
+        self.params = jax.device_put(params)
+        self.bn_state = jax.device_put(bn_state)
+        self.compute_dtype = compute_dtype
+        self.patch_size = patch_size
+        self.mask_padding = mask_padding
+        self._init_mesh(mesh)
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, params, bn_state, patches_u8, weights, lengths):
+        from .resnet_lstm import au_patch_classifier_apply
+
+        x = patches_u8.astype(jnp.float32) / 255.0
+        if self.patch_size is not None and x.shape[-3:-1] != tuple(self.patch_size):
+            flat = x.reshape((-1,) + x.shape[-3:])
+            x = resize_bilinear(flat, self.patch_size).reshape(
+                x.shape[:-3] + tuple(self.patch_size) + (3,)
+            )
+        logits, _ = au_patch_classifier_apply(
+            params, bn_state, x, weights, lengths=lengths,
+            mask_padding=self.mask_padding, train=False, compute_dtype=self.compute_dtype,
+        )
+        return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+
+    def score(
+        self,
+        patches_u8: np.ndarray,
+        au_weights: Optional[np.ndarray] = None,
+        lengths: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """patches_u8: (B, T, A, h, w, 3) uint8 -> fake probabilities (B,)."""
+        B, T, A = patches_u8.shape[:3]
+        if au_weights is None:
+            au_weights = np.ones((B, T, A), np.float32)
+        if lengths is None:
+            lengths = np.full((B,), T, np.int32)
+        arrays = (patches_u8, au_weights, lengths)
+        if self.mesh is not None:
+            arrays = self._shard_batch_rows(arrays, B)
+        out = self._score(self.params, self.bn_state, *arrays)
+        return np.asarray(out)[:B]

@@ -186,3 +186,43 @@ def test_au_face_scorer_single_vs_sharded(tmp_path):
     mesh = make_mesh(devices=jax.devices()[:8])
     sharded = AUFaceScorer(params, bn, compute_dtype=jnp.float32, mesh=mesh)
     np.testing.assert_allclose(sharded.score(videos, patches), probs, rtol=1e-5, atol=1e-6)
+
+
+def test_au_patch_scorer_single_vs_sharded(tmp_path):
+    """AUPatchScorer: plain-sigmoid parity with the eval forward, bundle
+    round-trip, and mesh-sharded == single-chip (fourth model family)."""
+    from multimodal_deepfake_detection_tpu.core.checkpoint import save_bundle
+    from multimodal_deepfake_detection_tpu.models.resnet_lstm import (
+        au_patch_classifier_apply,
+        au_patch_classifier_init,
+    )
+    from multimodal_deepfake_detection_tpu.models.serve import AUPatchScorer
+    from multimodal_deepfake_detection_tpu.parallel.mesh import make_mesh
+
+    params, bn = au_patch_classifier_init(jax.random.PRNGKey(5), hidden_dim=8, lstm_hidden=8)
+    rng = np.random.default_rng(1)
+    B, T, A = 3, 2, 4
+    patches = rng.integers(0, 255, (B, T, A, 16, 16, 3), np.uint8)
+    weights = rng.random((B, T, A)).astype(np.float32)
+    lengths = np.array([2, 1, 2], np.int32)
+
+    single = AUPatchScorer(params, bn, compute_dtype=jnp.float32)
+    probs = single.score(patches, weights, lengths)
+    assert probs.shape == (B,)
+
+    logits, _ = au_patch_classifier_apply(
+        params, bn, jnp.asarray(patches, jnp.float32) / 255.0, jnp.asarray(weights),
+        lengths=jnp.asarray(lengths), mask_padding=True, train=False, compute_dtype=jnp.float32,
+    )
+    ref = np.asarray(jax.nn.sigmoid(logits[:, 0]))
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)
+
+    save_bundle(str(tmp_path / "aup.npz"), {"model": params, "state": bn})
+    loaded = AUPatchScorer.from_bundle(
+        str(tmp_path / "aup.npz"), hidden_dim=8, lstm_hidden=8, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(loaded.score(patches, weights, lengths), probs, rtol=1e-5, atol=1e-6)
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    sharded = AUPatchScorer(params, bn, compute_dtype=jnp.float32, mesh=mesh)
+    np.testing.assert_allclose(sharded.score(patches, weights, lengths), probs, rtol=1e-5, atol=1e-6)
