@@ -16,13 +16,11 @@ bordered-layout prep pass) this kernel:
   the leading ReLU fuses into that interior store;
 * reads depthwise taps with the measured-best scheme from stream2: per dy
   one sublane-tile-ALIGNED load (W2 is a multiple of 16) reused by all
-  three dx taps via two ``pltpu.roll``s (PERF.md round 2);
-* optionally applies the row half of the block's 3x3/stride-2 max-pool
-  before writing out, halving the kernel's HBM writes and the XLA-side
-  pool traffic (the column half + skip-conv + add stay in XLA).
+  three dx taps via two ``pltpu.roll``s (PERF.md round 2).
 
-Output is column-bordered: ``(B, H_out, W2, Cout)`` with valid image columns
-at ``[:, :, 1:W+1, :]``; callers slice (XLA fuses the slice into the consumer).
+``entry_pair_pallas`` is the pair alone (column-bordered ``(B, H, W2, Cout)``
+output, valid columns ``[:, :, 1:W+1, :]``); ``entry_block_pallas`` below
+additionally fuses the block's 3x3/stride-2 max-pool and skip conv.
 """
 from __future__ import annotations
 
@@ -50,7 +48,7 @@ def _chunks(total, th):
 def _entry_kernel(
     x_ref, dw0_ref, pw0_ref, b0_ref, dw1_ref, pw1_ref, b1_ref, out_ref,
     xb_ref, mid_ref,
-    *, H, W, W2, Cin, Cmid, TH, leading_relu0, row_pool, H_out,
+    *, H, W, W2, Cin, Cmid, TH, leading_relu0,
 ):
     """One image per grid step; xb/mid are (H+4, W2, C) zero-bordered.
 
@@ -113,14 +111,7 @@ def _entry_kernel(
         acc = dw9(mid_ref, o0 + 1, rows, dw1_ref)
         o = jnp.dot(acc.astype(jnp.bfloat16), pw1_ref[:], preferred_element_type=jnp.float32)
         o = (o + b1_ref[0][None, :]).reshape(rows, W2, -1)
-        if not row_pool:
-            out_ref[0, pl.ds(o0, rows)] = o.astype(out_ref.dtype)
-        else:
-            # row q of the pooled output = max(out rows 2q-1, 2q, 2q+1); with
-            # TH even and o0 even, rows [o0-1, o0+rows+1) map to pooled rows
-            # [o0//2, (o0+rows)//2) plus a partial contribution handled by
-            # accumulating max into out_ref (initialized to NEG below).
-            raise NotImplementedError  # row_pool lands in a follow-up rev
+        out_ref[0, pl.ds(o0, rows)] = o.astype(out_ref.dtype)
 
     # keep out border columns deterministic (they are sliced away by callers
     # but feed the XLA column-pool window at col 0): zero them
@@ -146,7 +137,7 @@ def entry_pair_pallas(
 
     kernel = partial(
         _entry_kernel, H=H, W=W, W2=W2, Cin=Cin, Cmid=Cmid, TH=TH,
-        leading_relu0=leading_relu0, row_pool=False, H_out=H,
+        leading_relu0=leading_relu0,
     )
     out = pl.pallas_call(
         kernel,
