@@ -175,11 +175,13 @@ def main():
         ka, kb = 2, 6
         device_s = (timed(make_chain(kb)) - timed(make_chain(ka))) / (kb - ka)
         flops = xception_net_flops(args.batch, args.size)
-        peak = 197e12  # v5e bf16 peak; the one real chip behind the relay
+        peak, peak_kind = device_peak_flops()
         record.update(
             device_ms_per_batch=round(device_s * 1e3, 2),
             frames_per_sec_device=round(args.batch / device_s, 1),
             mfu=round(flops / device_s / peak, 4),
+            peak_tflops_assumed=round(peak / 1e12, 1),
+            device_kind=peak_kind,
             net_gflops_per_batch=round(flops / 1e9, 1),
         )
 
@@ -244,6 +246,32 @@ def main():
             print(f"[bench] train measurement failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(json.dumps(record))
+
+
+def device_peak_flops():
+    """(bf16 peak FLOP/s, device_kind) for the actual chip behind the backend.
+
+    Known kinds are mapped explicitly; unknown kinds fall back to the v5e
+    figure (the one real chip behind this environment's relay) — and the
+    assumed peak is always included in the JSON record so a wrong fallback is
+    visible rather than silent.
+    """
+    import jax
+
+    kind = str(getattr(jax.devices()[0], "device_kind", "unknown")).lower()
+    peaks = {  # bf16 dense peak per chip
+        "tpu v4": 275e12,
+        "tpu v5 lite": 197e12,
+        "tpu v5e": 197e12,
+        "tpu v5": 459e12,
+        "tpu v5p": 459e12,
+        "tpu v6 lite": 918e12,
+        "tpu v6e": 918e12,
+    }
+    for k, v in sorted(peaks.items(), key=lambda kv: -len(kv[0])):
+        if k in kind:
+            return v, kind
+    return 197e12, f"{kind} (assumed v5e peak)"
 
 
 def xception_net_flops(batch: int, size: int) -> int:

@@ -46,6 +46,11 @@ class Config:
     batch_size: int = 2
     image_size: int = 128
     max_frames: int = 75
+    # metadata label/split sources (/root/reference/test_au_face.py:236-260)
+    csv_path: Optional[str] = None
+    lavdf_mode: bool = False
+    lavdf_json_path: Optional[str] = None
+    num_workers: int = 0
     buckets: Tuple[int, ...] = ()
     compute_dtype: str = "bfloat16"
     strict_load: bool = True  # falls back to non-strict on failure
@@ -123,6 +128,10 @@ def main(argv=None, *, log=print):
     _train, test_l, eval_l = get_joint_dataloader(
         config.video_root,
         config.au_root,
+        csv_path=config.csv_path,
+        lavdf_mode=config.lavdf_mode,
+        lavdf_json_path=config.lavdf_json_path,
+        num_workers=config.num_workers,
         batch_size=config.batch_size,
         shuffle=False,
         max_frames=config.max_frames,

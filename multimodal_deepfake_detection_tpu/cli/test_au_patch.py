@@ -28,6 +28,13 @@ from ..models.resnet_lstm import au_patch_classifier_apply, au_patch_classifier_
 @dataclasses.dataclass
 class Config:
     data_root: str = "Dataset/AU_Files/fakeavceleb_whole_image_patches"
+    # metadata label/split sources (/root/reference/test_au_patch.py:438-449)
+    mode: str = "fakeavceleb"
+    csv_path: Optional[str] = None
+    lavdf_json: Optional[str] = None
+    include_unmatched_real: bool = False
+    unmatched_split_seed: int = 42
+    num_workers: int = 0
     ckpt_path: str = "Checkpoints/best_au_patch_model.npz"
     hidden_dim: int = 128
     lstm_hidden: int = 128
@@ -40,6 +47,11 @@ class Config:
     mask_padding: bool = True
     seed: int = 0
     save_embeddings: Optional[str] = None  # npz of pooled embeddings + labels
+    # input-gradient saliency PNGs for the first N batches (same export as
+    # cli/test_au_face.py's --saliency_dir; the AU axis is unrolled into the
+    # frame grid so each AU patch gets its own attribution tile)
+    saliency_dir: Optional[str] = None
+    saliency_batches: int = 1
 
 
 def _counts_at(y, s, thr):
@@ -61,6 +73,12 @@ def main(argv=None, *, log=print):
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     _train, test_l, _eval = get_patch_image_loaders(
         config.data_root,
+        mode=config.mode,
+        csv_path=config.csv_path,
+        lavdf_json=config.lavdf_json,
+        include_unmatched_real=config.include_unmatched_real,
+        unmatched_split_seed=config.unmatched_split_seed,
+        num_workers=config.num_workers,
         batch_size=config.batch_size,
         image_size=config.image_size,
         max_frames=config.max_frames,
@@ -136,7 +154,39 @@ def main(argv=None, *, log=print):
         os.makedirs(os.path.dirname(os.path.abspath(config.save_embeddings)), exist_ok=True)
         np.savez(config.save_embeddings, embeddings=np.asarray(all_emb), labels=y, scores=s)
         log(f"saved embeddings -> {config.save_embeddings}")
+    if config.saliency_dir:
+        export_saliency(config, test_l, params, bn_state, cdtype, log=log)
     return results
+
+
+def export_saliency(config: Config, loader, params, bn_state, cdtype, *, log=print):
+    """Input-gradient saliency PNGs for the first N batches (Grad-CAM analog)."""
+    from ..utils.saliency import input_saliency, save_saliency_grid
+
+    @jax.jit
+    def sal_fn(params, bn_state, patches, weights, lengths):
+        def probs(p):
+            logits, _ = au_patch_classifier_apply(
+                params, bn_state, p, weights,
+                lengths=lengths, mask_padding=config.mask_padding,
+                train=False, compute_dtype=cdtype,
+            )
+            return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+
+        return input_saliency(probs, patches), probs(patches)
+
+    for b, (patches, weights, labels, lengths) in enumerate(loader):
+        if b >= config.saliency_batches:
+            break
+        sal, probs = sal_fn(params, bn_state, patches, weights, lengths)
+        # unroll the AU axis into the frame grid: (B,T,A,h,w[,3]) -> (B,T*A,h,w[,3])
+        B, T, A = patches.shape[:3]
+        save_saliency_grid(
+            patches.reshape((B, T * A) + patches.shape[3:]),
+            np.asarray(sal).reshape((B, T * A) + sal.shape[3:]),
+            os.path.join(config.saliency_dir, f"saliency_batch{b}.png"),
+            scores=np.asarray(probs), labels=labels, log=log,
+        )
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ class Config:
     mask_padding: bool = True
     strict_load: bool = True
     save_scores: Optional[str] = None  # path for scores_and_labels.npz
+    # input-gradient saliency PNGs for the first N batches (same export as
+    # cli/test_au_face.py's --saliency_dir)
+    saliency_dir: Optional[str] = None
+    saliency_batches: int = 1
     seed: int = 0
 
 
@@ -94,7 +98,43 @@ def build_scorer(config: Config):
         batch = shard_batch(mesh, batch) if mesh is not None else batch
         return score(params, bn_state, batch)
 
+    # expose the scorer state for saliency export without changing the
+    # (batch) -> probs calling contract the tests pin
+    score_fn.params, score_fn.bn_state, score_fn.cdtype = params, bn_state, cdtype
     return score_fn
+
+
+def export_saliency(config: Config, loader, score_fn, *, log=print):
+    """Input-gradient saliency PNGs for the first N batches (Grad-CAM analog,
+    the same export cli/test_au_face.py wires behind --saliency_dir)."""
+    from ..utils.saliency import input_saliency, save_saliency_grid
+
+    params, bn_state, cdtype = score_fn.params, score_fn.bn_state, score_fn.cdtype
+
+    @jax.jit
+    def sal_fn(params, bn_state, video, lengths):
+        def probs(v):
+            feats, _ = xception_lstm_features(
+                params, bn_state, v, mode="video", train=False, compute_dtype=cdtype
+            )
+            emb = xception_lstm_embed(
+                params, feats, lengths=lengths, mask_padding=config.mask_padding,
+                compute_dtype=cdtype,
+            )
+            logits = arcface_apply(params["arcface"], emb, None, s=config.arcface_s)
+            return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+        return input_saliency(probs, video), probs(video)
+
+    for b, (video, labels, lengths) in enumerate(loader):
+        if b >= config.saliency_batches:
+            break
+        sal, probs = sal_fn(params, bn_state, video, lengths)
+        save_saliency_grid(
+            video, np.asarray(sal),
+            os.path.join(config.saliency_dir, f"saliency_batch{b}.png"),
+            scores=np.asarray(probs), labels=labels, log=log,
+        )
 
 
 def evaluate(score_fn, loader, *, log=print):
@@ -156,6 +196,8 @@ def main(argv=None, *, test_ds=None, log=print):
         os.makedirs(os.path.dirname(os.path.abspath(config.save_scores)), exist_ok=True)
         np.savez(config.save_scores, scores=s, labels=y)
         log(f"saved scores -> {config.save_scores}")
+    if config.saliency_dir:
+        export_saliency(config, loader, score_fn, log=log)
     return results
 
 

@@ -77,6 +77,12 @@ class Config:
     batch_size: int = 2
     image_size: int = 128
     max_frames: int = 75
+    # metadata label/split sources (D3 contract, /root/reference/
+    # train_au_face.py:563-574, test_au_face.py:236-260)
+    csv_path: Optional[str] = None
+    lavdf_mode: bool = False
+    lavdf_json_path: Optional[str] = None
+    num_workers: int = 0
     lr: float = 1e-4
     max_lr: float = 1e-3
     weight_decay: float = 0.01
@@ -114,6 +120,10 @@ def build(config: Config):
     train_l, test_l, eval_l = get_joint_dataloader(
         config.video_root,
         config.au_root,
+        csv_path=config.csv_path,
+        lavdf_mode=config.lavdf_mode,
+        lavdf_json_path=config.lavdf_json_path,
+        num_workers=config.num_workers,
         batch_size=config.batch_size,
         shuffle=True,
         max_frames=config.max_frames,

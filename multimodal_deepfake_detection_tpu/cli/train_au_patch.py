@@ -35,6 +35,15 @@ class Config:
     """train_au_patch configuration (defaults = reference values)."""
 
     data_root: str = "Dataset/AU_Files/fakeavceleb_whole_image_patches"
+    # metadata label/split sources (D6 contract, /root/reference/
+    # train_au_patch.py:186-196,365-375): csv or LAV-DF json; without either
+    # the flat {data_root}/{split} filename-prefix trees are used
+    mode: str = "fakeavceleb"
+    csv_path: Optional[str] = None
+    lavdf_json: Optional[str] = None
+    include_unmatched_real: bool = False
+    unmatched_split_seed: int = 42
+    num_workers: int = 0
     checkpoint_dir: str = "Checkpoints"
     bundle_name: str = "best_au_patch_model.npz"
     hidden_dim: int = 128
@@ -85,6 +94,12 @@ def build(config: Config):
     cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     train_l, test_l, eval_l = get_patch_image_loaders(
         config.data_root,
+        mode=config.mode,
+        csv_path=config.csv_path,
+        lavdf_json=config.lavdf_json,
+        include_unmatched_real=config.include_unmatched_real,
+        unmatched_split_seed=config.unmatched_split_seed,
+        num_workers=config.num_workers,
         batch_size=config.batch_size,
         image_size=config.image_size,
         max_frames=config.max_frames,

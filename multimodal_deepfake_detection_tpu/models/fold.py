@@ -67,100 +67,46 @@ def _sep_apply(p, x, compute_dtype):
     return conv2d(p["pointwise"], x, stride=1, padding=0, compute_dtype=compute_dtype)
 
 
-def _prefix_apply(params, x, *, upto: str, compute_dtype=None, use_pallas: bool = False):
-    """Truncated folded forward for in-situ per-stage timing (tools/netbench.py).
+def folded_xception_apply(
+    params, x, *, compute_dtype=None, features_only: bool = False, use_pallas: bool = False,
+    pallas_interpret: bool = False, upto: str = None,
+):
+    """BN-free forward; mirrors models.xception.xception_apply eval mode.
 
-    ``upto``: "stem", "block<k>", or "exit" — returns that stage's output
-    with the exact surrounding structure of the full serving forward.
+    ``use_pallas=True`` routes the 8 middle-flow residual blocks through the
+    fused VMEM-resident Pallas kernel (ops/pallas/sepconv_block.py).
+
+    ``upto`` ("stem", "block<k>", or "exit") early-returns that stage's
+    (densified) output — the in-situ timing harness (tools/netbench.py) times
+    truncated prefixes of the EXACT serving forward, so it cannot drift from
+    the path it claims to measure.
     """
     if use_pallas:
         from ..ops.pallas.sepconv_block import is_middle_block, middle_block_pallas_v2, pack_middle_block
-        from ..ops.pallas.sepconv_entry import entry_block_pallas, is_fusable_entry_block, pack_entry_block
+        from ..ops.pallas.sepconv_entry import (
+            WHOLE_IMAGE_MAX_ROWS,
+            entry_block_pallas,
+            is_fusable_entry_block,
+            pack_entry_block,
+        )
 
     h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype))
     h = jax.nn.relu(conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype))
     if upto == "stem":
         return h
 
-    vw = 0
-    for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
-        _, _, _, stride, start_with_relu, _ = spec
-        logical_w = vw or h.shape[2]
-        if use_pallas and stride == 2 and is_fusable_entry_block(bp, (0, h.shape[1], logical_w)):
-            if h.shape[1] > 96:  # too tall for whole-image VMEM: striped kernel
-                from ..ops.pallas.sepconv_entry_striped import entry_block_striped_pallas
-
-                if vw:  # striped kernel takes dense input
-                    h = h[:, :, :vw, :]
-                    vw = 0
-                h = entry_block_striped_pallas(
-                    h, *pack_entry_block(bp), leading_relu0=start_with_relu,
-                ).astype(h.dtype)
-            else:
-                h = entry_block_pallas(
-                    h, *pack_entry_block(bp), leading_relu0=start_with_relu, valid_w=vw,
-                ).astype(h.dtype)
-            vw = (logical_w + 1) // 2
-        else:
-            if vw:
-                h = h[:, :, :vw, :]
-                vw = 0
-            if use_pallas and stride == 1 and start_with_relu and is_middle_block(bp):
-                dw, pw, b = pack_middle_block(bp)
-                h = middle_block_pallas_v2(
-                    h, dw, pw, b, images_per_step=4, precise=True, per_image_dot=True,
-                )
-            else:
-                inp = h
-                for i, unit in enumerate(bp["units"]):
-                    if i > 0 or start_with_relu:
-                        h = jax.nn.relu(h)
-                    h = _sep_apply(unit, h, compute_dtype)
-                if stride != 1:
-                    h = max_pool2d(h, 3, stride, 1)
-                skip = (
-                    conv2d(bp["skip"], inp, stride=stride, padding=0, compute_dtype=compute_dtype)
-                    if "skip" in bp
-                    else inp
-                )
-                h = h + skip
-        if upto == f"block{k + 1}":
-            return h[:, :, :vw, :] if vw else h
-    if vw:
-        h = h[:, :, :vw, :]
-    h = jax.nn.relu(_sep_apply(params["conv3"], h, compute_dtype))
-    h = jax.nn.relu(_sep_apply(params["conv4"], h, compute_dtype))
-    return h
-
-
-def folded_xception_apply(
-    params, x, *, compute_dtype=None, features_only: bool = False, use_pallas: bool = False,
-    pallas_interpret: bool = False,
-):
-    """BN-free forward; mirrors models.xception.xception_apply eval mode.
-
-    ``use_pallas=True`` routes the 8 middle-flow residual blocks through the
-    fused VMEM-resident Pallas kernel (ops/pallas/sepconv_block.py).
-    """
-    if use_pallas:
-        from ..ops.pallas.sepconv_block import is_middle_block, middle_block_pallas_v2, pack_middle_block
-        from ..ops.pallas.sepconv_entry import entry_block_pallas, is_fusable_entry_block, pack_entry_block
-
-    h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype))
-    h = jax.nn.relu(conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype))
-
     # vw != 0 means h is a fused entry block's storage-padded output whose
     # valid columns are [:vw]; consecutive fused blocks chain WITHOUT an XLA
     # slice-materialization pass between the two pallas calls
     vw = 0
-    for spec, bp in zip(XCEPTION_BLOCK_SPECS, params["blocks"]):
+    for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
         _, _, _, stride, start_with_relu, _ = spec
         logical_w = vw or h.shape[2]
         if use_pallas and stride == 2 and is_fusable_entry_block(bp, (0, h.shape[1], logical_w)):
             # whole-block fusion: [relu] -> sepconv pair -> maxpool3x3/s2 ->
             # + skip conv, one kernel, one HBM read of h, pooled-only write
             # (ops/pallas/sepconv_entry[_striped].py; measured in PERF.md r2)
-            if h.shape[1] > 96:  # too tall for whole-image VMEM: striped
+            if h.shape[1] > WHOLE_IMAGE_MAX_ROWS:  # too tall for whole-image VMEM: striped
                 from ..ops.pallas.sepconv_entry_striped import entry_block_striped_pallas
 
                 if vw:  # striped kernel takes dense input
@@ -176,6 +122,8 @@ def folded_xception_apply(
                     valid_w=vw, interpret=pallas_interpret,
                 ).astype(h.dtype)
             vw = (logical_w + 1) // 2
+            if upto == f"block{k + 1}":
+                return h[:, :, :vw, :]
             continue
         if vw:  # densify for a non-fused consumer
             h = h[:, :, :vw, :]
@@ -190,6 +138,8 @@ def folded_xception_apply(
                 h, dw, pw, b, interpret=pallas_interpret,
                 images_per_step=4, precise=True, per_image_dot=True,
             )
+            if upto == f"block{k + 1}":
+                return h
             continue
         inp = h
         # NOTE: two Pallas alternatives for these entry/exit units were built,
@@ -210,11 +160,15 @@ def folded_xception_apply(
         else:
             skip = inp
         h = h + skip
+        if upto == f"block{k + 1}":
+            return h
 
     if vw:
         h = h[:, :, :vw, :]
     h = jax.nn.relu(_sep_apply(params["conv3"], h, compute_dtype))
     h = jax.nn.relu(_sep_apply(params["conv4"], h, compute_dtype))
+    if upto == "exit":
+        return h
     feats = global_avg_pool(h)
     if features_only or "fc" not in params:
         return feats

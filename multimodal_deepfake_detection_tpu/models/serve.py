@@ -329,9 +329,13 @@ class AUFaceScorer(_ShardedScoringMixin):
 
 class AUPatchScorer(_ShardedScoringMixin):
     """AU-patch ResNet-LSTM scoring (AUPatchResNetClassifierWithAUAttention)
-    on raw uint8 patch stacks — plain sigmoid scores, the reference eval
-    semantics (/root/reference/test_au_patch.py:473 via cli/test_au_patch.py).
+    on raw uint8 patch stacks — plain sigmoid scores as in the reference eval
+    loop (/root/reference/test_au_patch.py:473 via cli/test_au_patch.py).
     Completes serving coverage of all four model families.
+
+    Note: the default ``mask_padding=True`` is the repo-wide quality mode; for
+    caller-supplied ``lengths < T`` the reference's pad-consuming eval path is
+    reproduced exactly only with ``mask_padding=False`` (fidelity mode).
     """
 
     _param_attrs = ("params", "bn_state")

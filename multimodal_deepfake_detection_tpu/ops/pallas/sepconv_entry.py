@@ -392,9 +392,13 @@ def pack_entry_block(folded_block):
     return dw0, pw0, b0, dw1, pw1, b1, sk["w"][0, 0], sk["b"].astype(jnp.float32)
 
 
-def is_fusable_entry_block(
-    folded_block, h_shape, max_rows: int = 96, min_rows: int = 32
-) -> bool:
+# Tallest image the whole-image kernel keeps resident in VMEM; taller inputs
+# route to the striped kernel (sepconv_entry_striped.py). fold.py derives its
+# striped-vs-whole-image threshold from this same constant.
+WHOLE_IMAGE_MAX_ROWS = 96
+
+
+def is_fusable_entry_block(folded_block, h_shape) -> bool:
     """Gate for routing a stride-2 two-unit skip block through the fused
     kernel. DEFAULT OFF: in-situ measurement (tools/netbench.py, PERF.md r2)
     showed XLA runs the entry flow in batch-minor layouts (batch rides the

@@ -193,9 +193,17 @@ def entry_block_striped_pallas(
     W2 = _round_up(W + 2, 16)
     Hp = (H + 1) // 2
 
-    SH = stripe_rows or next(H // d for d in range(2, H + 1) if H % d == 0 and (H // d) <= 40)
+    # Stripe height: a divisor of H in [2, 40]. SH >= 2 is required — the
+    # pool-carry copy outs_ref[:2] = outs_ref[SH:SH+2] self-overlaps at SH=1
+    # (row 1 read and written in one aliased VMEM assignment).
+    SH = stripe_rows or next(
+        (H // d for d in range(2, H + 1) if H % d == 0 and 2 <= (H // d) <= 40), 0
+    )
+    if SH < 2 or H % SH:
+        raise ValueError(
+            f"no stripe height in [2, 40] divides H={H}; pass stripe_rows explicitly"
+        )
     NS = H // SH
-    assert SH * NS == H
 
     # HBM DMA windows must be whole-lane-tile: pad Cin to 128 (zero channels
     # are inert; the pad fuses into the bordered-layout pass below, and the
@@ -231,7 +239,7 @@ def entry_block_striped_pallas(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, manual DMA
             pl.BlockSpec((9, Cin), lambda i: (0, 0)),
             pl.BlockSpec((Cin, Cmid), lambda i: (0, 0)),
             pl.BlockSpec((1, Cmid), lambda i: (0, 0)),

@@ -153,7 +153,7 @@ def sepconv_pair_stream_pallas(
         kernel,
         grid=(B, n_stripes),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((9, Cin), lambda i, s: (0, 0)),
             pl.BlockSpec((Cin, Cmid), lambda i, s: (0, 0)),
             pl.BlockSpec((1, Cmid), lambda i, s: (0, 0)),

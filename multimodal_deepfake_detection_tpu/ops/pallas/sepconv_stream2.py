@@ -234,7 +234,7 @@ def sepconv_pair_stream2_pallas(
         kernel,
         grid=(B, n_stripes),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # bordered input, stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # bordered input, stays in HBM
             pl.BlockSpec((9, Cin), lambda i, s: (0, 0)),
             pl.BlockSpec((Cin, Cmid), lambda i, s: (0, 0)),
             pl.BlockSpec((1, Cmid), lambda i, s: (0, 0)),

@@ -33,7 +33,7 @@ def joint_tree(tmp_path_factory):
 
 def test_patch_loaders_contract(patch_tree):
     train_l, test_l, eval_l = get_patch_image_loaders(
-        patch_tree, batch_size=2, max_frames=3, max_aus=3, augment_train=True, seed=0
+        patch_tree, batch_size=2, image_size=0, max_frames=3, max_aus=3, augment_train=True, seed=0
     )
     patches, weights, labels, lengths = next(iter(train_l))
     assert patches.shape == (2, 3, 3, 16, 16, 3)
@@ -47,7 +47,7 @@ def test_patch_loaders_contract(patch_tree):
 def test_joint_loader_contract(joint_tree):
     v, a = joint_tree
     train_l, test_l, eval_l = get_joint_dataloader(
-        v, a, batch_size=2, max_frames=3, max_aus=3, return_weights=True, seed=0
+        v, a, batch_size=2, image_size=0, max_frames=3, max_aus=3, return_weights=True, seed=0
     )
     videos, patches, labels, au_mask, au_weight, lengths = next(iter(train_l))
     assert videos.shape == (2, 3, 24, 24, 3)
@@ -55,7 +55,7 @@ def test_joint_loader_contract(joint_tree):
     assert au_mask.shape == (2, 3, 3) and au_mask.max() == 1.0
     assert train_l.dataset.all_labels is not None
 
-    train_nw, *_ = get_joint_dataloader(v, a, batch_size=2, max_frames=3, max_aus=3, return_weights=False)
+    train_nw, *_ = get_joint_dataloader(v, a, batch_size=2, image_size=0, max_frames=3, max_aus=3, return_weights=False)
     out = next(iter(train_nw))
     assert len(out) == 4  # (videos, patches, labels, lengths)
 
@@ -72,6 +72,7 @@ def test_train_then_test_au_patch(patch_tree, tmp_path):
             "--batch_size", "2",
             "--max_frames", "3",
             "--max_aus", "3",
+            "--image_size", "0",
             "--epochs", "2",
             "--compute_dtype", "float32",
             "--save_resume_state", "false",
@@ -91,6 +92,7 @@ def test_train_then_test_au_patch(patch_tree, tmp_path):
             "--batch_size", "2",
             "--max_frames", "3",
             "--max_aus", "3",
+            "--image_size", "0",
             "--compute_dtype", "float32",
             "--save_embeddings", str(tmp_path / "emb.npz"),
         ],
@@ -118,6 +120,7 @@ def test_train_then_test_au_face(joint_tree, tmp_path):
             "--embed_dim", "8",
             "--batch_size", "2",
             "--max_frames", "3",
+            "--image_size", "0",
             "--accum_steps", "2",
             "--epochs", "2",
             "--compute_dtype", "float32",
@@ -152,6 +155,7 @@ def test_train_then_test_au_face(joint_tree, tmp_path):
             "--lstm_hidden", "8",
             "--batch_size", "2",
             "--max_frames", "3",
+            "--image_size", "0",
             "--compute_dtype", "float32",
             "--tsne", "false",
             "--saliency_dir", os.path.join(out_dir, "sal"),

@@ -67,13 +67,15 @@ def main():
     KA, KB = 4, 12
 
     def make_prefix(upto, K):
-        from multimodal_deepfake_detection_tpu.models.fold import _prefix_apply
+        from multimodal_deepfake_detection_tpu.models.fold import folded_xception_apply
 
         @jax.jit
         def fwd(p, xin, i):
             def body(t, s):
                 h = xin * (1.0 + (i * K + t).astype(jnp.float32) * 1e-6)
-                out = _prefix_apply(p, h, upto=upto, compute_dtype=jnp.bfloat16, use_pallas=args.pallas)
+                out = folded_xception_apply(
+                    p, h, upto=upto, compute_dtype=jnp.bfloat16, use_pallas=args.pallas
+                )
                 return s + jnp.sum(out.astype(jnp.float32))
 
             return jax.lax.fori_loop(0, K, body, jnp.float32(0))
