@@ -70,14 +70,30 @@ def au_face_detector_init(
     return params, state
 
 
-def _cross_attend(q_proj, queries, keys_values, *, compute_dtype):
-    """Single-head scaled-dot-product cross-attention with residual."""
+def _cross_attend(q_proj, queries, keys_values, *, compute_dtype, key_valid=None):
+    """Single-head scaled-dot-product cross-attention with residual.
+
+    ``key_valid`` (scalar) masks keys at ``s >= key_valid`` out of the softmax
+    — bucket-padded key tokens become exactly inert (models/serve.py)."""
     q = linear(q_proj, queries, compute_dtype=compute_dtype)
     d = q.shape[-1]
     scores = jnp.einsum("btd,bsd->bts", q.astype(jnp.float32), keys_values.astype(jnp.float32))
-    attn = jax.nn.softmax(scores / jnp.sqrt(float(d)), axis=-1)
+    scores = scores / jnp.sqrt(float(d))
+    if key_valid is not None:
+        mask = jnp.arange(scores.shape[-1]) < key_valid
+        scores = jnp.where(mask[None, None, :], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("bts,bsd->btd", attn, keys_values.astype(jnp.float32))
     return queries + ctx.astype(queries.dtype)
+
+
+def _masked_mean(tokens: jnp.ndarray, valid) -> jnp.ndarray:
+    """Mean over the time axis; with ``valid`` (scalar), only steps < valid."""
+    x = tokens.astype(jnp.float32)
+    if valid is None:
+        return jnp.mean(x, axis=1)
+    mask = (jnp.arange(x.shape[1]) < valid).astype(jnp.float32)[None, :, None]
+    return jnp.sum(x * mask, axis=1) / jnp.maximum(valid, 1).astype(jnp.float32)
 
 
 def au_face_detector_apply(
@@ -88,10 +104,20 @@ def au_face_detector_apply(
     au_mask: Optional[jnp.ndarray] = None,
     au_weight: Optional[jnp.ndarray] = None,
     *,
+    v_valid=None,
+    au_valid=None,
     train: bool = False,
     compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
-    """Returns (logits (B, 1), v_tokens (B, T, 512), au_tokens (B, Ta, 512), new_state)."""
+    """Returns (logits (B, 1), v_tokens (B, T, 512), au_tokens (B, Ta, 512), new_state).
+
+    ``v_valid`` / ``au_valid`` (scalars, static or traced) mark the valid
+    prefix of the (possibly bucket-padded) time axes: the biLSTM backward
+    scans start at the valid end, padded tokens are masked out of the
+    cross-attention keys and the mean pools — so logits are invariant to the
+    bucket width (the serving engines' bounded-compile dispatch,
+    models/serve.py). ``None`` keeps the plain full-axis behavior (the
+    reference's pad-consuming collate semantics)."""
     B, T = videos.shape[:2]
     Ta, A = au_patches.shape[1], au_patches.shape[2]
     new_state = {}
@@ -102,7 +128,7 @@ def au_face_detector_apply(
         params["face_backbone"], state["face_backbone"], frames, train=train, compute_dtype=compute_dtype
     )
     f_tokens = linear(params["face_proj"], f_feats, compute_dtype=compute_dtype).reshape(B, T, -1)
-    v_tokens = bilstm_apply(params["face_lstm"], f_tokens, compute_dtype=compute_dtype)
+    v_tokens = bilstm_apply(params["face_lstm"], f_tokens, compute_dtype=compute_dtype, valid_T=v_valid)
 
     # --- AU stream: (B*Ta*A) patch batch, attention pool over AUs per frame ---
     patches = au_patches.reshape((B * Ta * A,) + au_patches.shape[3:])
@@ -118,15 +144,19 @@ def au_face_detector_apply(
         combined = attn * au_weight[..., None].astype(jnp.float32)
         attn = combined / (jnp.sum(combined, axis=2, keepdims=True) + 1e-6)
     a_pooled = jnp.sum(attn.astype(a_feats.dtype) * a_feats, axis=2)  # (B, Ta, D)
-    au_tokens = bilstm_apply(params["au_lstm"], a_pooled, compute_dtype=compute_dtype)
+    au_tokens = bilstm_apply(params["au_lstm"], a_pooled, compute_dtype=compute_dtype, valid_T=au_valid)
 
-    # --- cross-modal exchange ---
-    v_tokens = _cross_attend(params["cross_q_face"], v_tokens, au_tokens, compute_dtype=compute_dtype)
-    au_tokens = _cross_attend(params["cross_q_au"], au_tokens, v_tokens, compute_dtype=compute_dtype)
+    # --- cross-modal exchange (padded tokens masked out of the keys) ---
+    v_tokens = _cross_attend(
+        params["cross_q_face"], v_tokens, au_tokens, compute_dtype=compute_dtype, key_valid=au_valid
+    )
+    au_tokens = _cross_attend(
+        params["cross_q_au"], au_tokens, v_tokens, compute_dtype=compute_dtype, key_valid=v_valid
+    )
 
     # --- classification head on pooled concat ---
     pooled = jnp.concatenate(
-        [jnp.mean(v_tokens.astype(jnp.float32), axis=1), jnp.mean(au_tokens.astype(jnp.float32), axis=1)],
+        [_masked_mean(v_tokens, v_valid), _masked_mean(au_tokens, au_valid)],
         axis=-1,
     ).astype(v_tokens.dtype)
     h = jax.nn.relu(linear(params["head_fc1"], pooled, compute_dtype=compute_dtype))

@@ -55,7 +55,8 @@ def au_patch_classifier_apply(
     """patches (B, T, A, H, W, 3), weights (B, T, A) -> logits (B, 1).
 
     With ``lengths``, ``mask_padding=True`` (quality mode) masks each sample's
-    temporal mean-pool at its own length. ``mask_padding=False`` (fidelity
+    temporal mean-pool at its own length AND gates the biLSTM state per sample,
+    so padding (to any bucket width) is fully inert. ``mask_padding=False`` (fidelity
     mode) reproduces the reference's pad-to-batch-max forward exactly even
     under bucketed collate: the biLSTM's backward scan is state-gated at
     ``max(lengths)`` and the mean-pool runs over ``t < max(lengths)`` for
@@ -80,7 +81,16 @@ def au_patch_classifier_apply(
         attn = combined / (jnp.sum(combined, axis=2, keepdims=True) + 1e-6)
     attended = jnp.sum(attn.astype(feats.dtype) * feats, axis=2)  # (B,T,hidden)
 
-    valid_T = None if (lengths is None or mask_padding) else jnp.max(lengths)
+    if lengths is None:
+        valid_T = None
+    elif mask_padding:
+        # quality mode: per-sample gate — padding is fully inert (the backward
+        # scan starts at each row's own length), so scores are invariant to
+        # the bucket width the serving/collate path padded to
+        valid_T = lengths
+    else:
+        # fidelity mode: the reference's pad-to-batch-max forward
+        valid_T = jnp.max(lengths)
     lstm_out = bilstm_apply(params["lstm"], attended, compute_dtype=compute_dtype, valid_T=valid_T)
     if lengths is None:
         pooled = jnp.mean(lstm_out.astype(jnp.float32), axis=1)

@@ -192,6 +192,7 @@ class AudioScorer(_ShardedScoringMixin):
         use_pallas: Optional[bool] = None,
         mask_padding: bool = True,
         mesh=None,
+        sample_buckets: Optional[Sequence[int]] = None,
     ):
         self.mask_padding = mask_padding
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
@@ -199,12 +200,21 @@ class AudioScorer(_ShardedScoringMixin):
         self.mfcc_kw = dict(sr=sr, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length)
         self.compute_dtype = compute_dtype
         self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
+        # waveform-length buckets: each call's sample axis is padded up to a
+        # bucket so the jit sees a small fixed shape set (one compile per
+        # bucket) instead of one multi-second compile per distinct length.
+        # Exactness: the true signal is reflect-padded HOST-side (librosa's
+        # centering) and framed uncentered on device, so every frame of the
+        # original length is bit-identical under the zero-pad; the pad frames
+        # are masked off via frame lengths.
+        self.sample_buckets = tuple(sorted(sample_buckets)) if sample_buckets else None
         self._init_mesh(mesh)
-        self._score = jax.jit(self._score_impl)
+        self._score = jax.jit(partial(self._score_impl, centered=True))
+        self._score_uncentered = jax.jit(partial(self._score_impl, centered=False))
 
-    def _score_impl(self, backbone, head, waveforms, lengths):
+    def _score_impl(self, backbone, head, waveforms, lengths, centered: bool = True):
         # waveform -> MFCC -> channel-triple -> (13,1)->64x64 images, on device
-        feats_mfcc = mfcc_op(waveforms, **self.mfcc_kw)  # (B, T, 13)
+        feats_mfcc = mfcc_op(waveforms, center=centered, **self.mfcc_kw)  # (B, T, 13)
         B, T, n = feats_mfcc.shape
         imgs = feats_mfcc.reshape(B * T, n, 1, 1)
         imgs = jnp.broadcast_to(imgs, (B * T, n, 1, 3))  # channel-triple
@@ -220,13 +230,30 @@ class AudioScorer(_ShardedScoringMixin):
 
     def score(self, waveforms: np.ndarray, frame_lengths: Optional[np.ndarray] = None) -> np.ndarray:
         """waveforms: (B, samples) float -> fake probabilities (B,)."""
-        B = waveforms.shape[0]
+        B, L = waveforms.shape[:2]
+        score_fn = self._score
+        if self.sample_buckets:
+            n_fft, hop = self.mfcc_kw["n_fft"], self.mfcc_kw["hop_length"]
+            Lb = bucket_length(L, self.sample_buckets)
+            if Lb < L:  # longer than the largest bucket: truncate
+                waveforms, L = waveforms[:, :Lb], Lb
+            # librosa centering done here, on the TRUE length; then zero-pad
+            waveforms = np.pad(
+                np.asarray(waveforms, np.float32),
+                ((0, 0), (n_fft // 2, n_fft // 2)),
+                mode="reflect",
+            )
+            waveforms = np.pad(waveforms, ((0, 0), (0, Lb - L)))
+            n_valid = 1 + L // hop  # frames of the true signal — all exact
+            valid = np.full((B,), n_valid, np.int32)
+            frame_lengths = valid if frame_lengths is None else np.minimum(frame_lengths, valid)
+            score_fn = self._score_uncentered
         if self.mesh is not None:
             if frame_lengths is None:
                 waveforms, = self._shard_batch_rows((waveforms,), B)
             else:
                 waveforms, frame_lengths = self._shard_batch_rows((waveforms, frame_lengths), B)
-        out = self._score(self.folded_backbone, self.head_params, waveforms, frame_lengths)
+        out = score_fn(self.folded_backbone, self.head_params, waveforms, frame_lengths)
         return np.asarray(out)[:B]
 
 
@@ -278,16 +305,23 @@ class AUFaceScorer(_ShardedScoringMixin):
         frame_size: Optional[Tuple[int, int]] = None,
         patch_size: Optional[Tuple[int, int]] = None,
         mesh=None,
+        buckets: Optional[Sequence[int]] = None,
     ):
         self.params = jax.device_put(params)
         self.bn_state = jax.device_put(bn_state)
         self.compute_dtype = compute_dtype
         self.frame_size = frame_size
         self.patch_size = patch_size
+        # (T, Ta) length buckets: both time axes pad up to a bucket and the
+        # true lengths travel as traced scalars (v_valid / au_valid) that gate
+        # the biLSTMs, cross-attention keys and pools — one compile per bucket
+        # pair, logits invariant to the pad width (au_face.py).
+        self.buckets = tuple(sorted(buckets)) if buckets else None
         self._init_mesh(mesh)
         self._score = jax.jit(self._score_impl)
 
-    def _score_impl(self, params, bn_state, videos_u8, patches_u8, au_mask, au_weight):
+    def _score_impl(self, params, bn_state, videos_u8, patches_u8, au_mask, au_weight,
+                    v_valid, au_valid):
         from .au_face import au_face_detector_apply
 
         def prep(u8, size):
@@ -301,9 +335,20 @@ class AUFaceScorer(_ShardedScoringMixin):
         patches = prep(patches_u8, self.patch_size)
         logits, _, _, _ = au_face_detector_apply(
             params, bn_state, videos, patches, au_mask, au_weight,
+            v_valid=v_valid, au_valid=au_valid,
             train=False, compute_dtype=self.compute_dtype,
         )
         return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+
+    @staticmethod
+    def _pad_time(arr: np.ndarray, Tb: int) -> np.ndarray:
+        T = arr.shape[1]
+        if Tb == T:
+            return arr
+        if Tb < T:
+            return arr[:, :Tb]
+        pad = np.zeros((arr.shape[0], Tb - T) + arr.shape[2:], arr.dtype)
+        return np.concatenate([arr, pad], axis=1)
 
     def score(
         self,
@@ -314,16 +359,26 @@ class AUFaceScorer(_ShardedScoringMixin):
     ) -> np.ndarray:
         """videos_u8: (B, T, H, W, 3); au_patches_u8: (B, Ta, A, h, w, 3)
         uint8 -> fake probabilities (B,)."""
-        B = videos_u8.shape[0]
+        B, T = videos_u8.shape[:2]
         Ta, A = au_patches_u8.shape[1:3]
         if au_mask is None:
             au_mask = np.ones((B, Ta, A), np.float32)
         if au_weight is None:
             au_weight = np.ones((B, Ta, A), np.float32)
+        if self.buckets:
+            Tb = bucket_length(T, self.buckets)
+            Tab = bucket_length(Ta, self.buckets)
+            videos_u8 = self._pad_time(videos_u8, Tb)
+            au_patches_u8 = self._pad_time(au_patches_u8, Tab)
+            au_mask = self._pad_time(au_mask, Tab)
+            au_weight = self._pad_time(au_weight, Tab)
+            T, Ta = min(T, Tb), min(Ta, Tab)
         arrays = (videos_u8, au_patches_u8, au_mask, au_weight)
         if self.mesh is not None:
             arrays = self._shard_batch_rows(arrays, B)
-        out = self._score(self.params, self.bn_state, *arrays)
+        out = self._score(
+            self.params, self.bn_state, *arrays, jnp.int32(T), jnp.int32(Ta)
+        )
         return np.asarray(out)[:B]
 
 
@@ -364,12 +419,17 @@ class AUPatchScorer(_ShardedScoringMixin):
         patch_size: Optional[Tuple[int, int]] = None,
         mask_padding: bool = True,
         mesh=None,
+        buckets: Optional[Sequence[int]] = None,
     ):
         self.params = jax.device_put(params)
         self.bn_state = jax.device_put(bn_state)
         self.compute_dtype = compute_dtype
         self.patch_size = patch_size
         self.mask_padding = mask_padding
+        # T buckets: pad the patch time axis up to a bucket; ``lengths`` gates
+        # the biLSTM per sample (quality mode) or at the batch max (fidelity),
+        # so scores match the unbucketed call — one compile per (T, A) bucket.
+        self.buckets = tuple(sorted(buckets)) if buckets else None
         self._init_mesh(mesh)
         self._score = jax.jit(self._score_impl)
 
@@ -400,6 +460,11 @@ class AUPatchScorer(_ShardedScoringMixin):
             au_weights = np.ones((B, T, A), np.float32)
         if lengths is None:
             lengths = np.full((B,), T, np.int32)
+        if self.buckets:
+            Tb = bucket_length(T, self.buckets)
+            patches_u8 = AUFaceScorer._pad_time(patches_u8, Tb)
+            au_weights = AUFaceScorer._pad_time(au_weights, Tb)
+            lengths = np.minimum(lengths, Tb)
         arrays = (patches_u8, au_weights, lengths)
         if self.mesh is not None:
             arrays = self._shard_batch_rows(arrays, B)

@@ -135,13 +135,22 @@ def xception_apply(
     train: bool = False,
     compute_dtype=None,
     features_only: bool = False,
+    upto: Optional[str] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Forward pass on NHWC images.
 
     Returns ``(outputs, new_bn_state)``. ``features_only`` (or a params tree
     without ``fc``) yields 2048-d pooled features — the per-frame embedding the
     temporal heads consume. Stride/padding trace the reference layer-by-layer
-    (``/root/reference/Xception.py:167-199``).
+    (``/root/reference/Xception.py:167-199``). ``upto`` ("stem", "block<k>",
+    "exit") early-returns that stage's output with the BN state gathered so
+    far — the live-BN analog of ``fold.folded_xception_apply(upto=)``, used by
+    the train-step attribution harness (tools/trainbench.py). ``remat``
+    rematerializes each block under ``jax.checkpoint`` — the backward pass
+    recomputes block-internal activations instead of reloading them from HBM
+    (gradients unchanged; a wall-clock/memory trade measured per-config in
+    PERF.md).
     """
     new_state = {}
     h = conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype)
@@ -150,11 +159,21 @@ def xception_apply(
     h = conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype)
     h, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], h, train=train)
     h = jax.nn.relu(h)
+    if upto == "stem":
+        return h, new_state
+
+    def block_fn(bp, bs, spec, h):
+        return _block_apply(bp, bs, spec, h, train=train, compute_dtype=compute_dtype)
+
+    if remat:
+        block_fn = jax.checkpoint(block_fn, static_argnums=(2,))
 
     new_state["blocks"] = []
-    for spec, bp, bs in zip(XCEPTION_BLOCK_SPECS, params["blocks"], state["blocks"]):
-        h, nbs = _block_apply(bp, bs, spec, h, train=train, compute_dtype=compute_dtype)
+    for k, (spec, bp, bs) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"], state["blocks"])):
+        h, nbs = block_fn(bp, bs, spec, h)
         new_state["blocks"].append(nbs)
+        if upto == f"block{k + 1}":
+            return h, new_state
 
     h = separable_conv2d(params["conv3"], h, stride=1, padding=1, compute_dtype=compute_dtype)
     h, new_state["bn3"] = batch_norm(params["bn3"], state["bn3"], h, train=train)
@@ -162,6 +181,8 @@ def xception_apply(
     h = separable_conv2d(params["conv4"], h, stride=1, padding=1, compute_dtype=compute_dtype)
     h, new_state["bn4"] = batch_norm(params["bn4"], state["bn4"], h, train=train)
     h = jax.nn.relu(h)
+    if upto == "exit":
+        return h, new_state
 
     feats = global_avg_pool(h)
     if features_only or "fc" not in params:

@@ -22,6 +22,7 @@ parity tests line up bit-for-bit at fp32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -29,6 +30,9 @@ import jax.numpy as jnp
 
 Params = dict
 State = dict
+
+# Experiment gate (tools/trainbench.py): single-pass BN batch variance.
+_BN_SINGLE_PASS = os.environ.get("MDFD_BN_SINGLE_PASS", "0") == "1"
 
 
 def _pair(v):
@@ -174,7 +178,15 @@ def batch_norm(
     if train:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=reduce_axes)
-        var = jnp.var(xf, axis=reduce_axes)
+        if _BN_SINGLE_PASS:
+            # E[x^2] - E[x]^2: both moments fuse into ONE reduction pass over
+            # the conv output (jnp.var re-reads the activation for the
+            # centered second pass). fp32 accumulation; the standard BN-stats
+            # formulation (cuDNN/XLA use the same). Experiment-gated:
+            # MDFD_BN_SINGLE_PASS=1, measured in tools/trainbench.py.
+            var = jnp.maximum(jnp.mean(xf * xf, axis=reduce_axes) - mean * mean, 0.0)
+        else:
+            var = jnp.var(xf, axis=reduce_axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

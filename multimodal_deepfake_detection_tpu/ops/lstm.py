@@ -41,13 +41,15 @@ def _cell_scan(params: Params, x_proj: jnp.ndarray, h0, c0, reverse: bool, compu
                valid_T=None):
     """Scan the recurrence over the time axis of ``x_proj`` (B, T, 4H).
 
-    ``valid_T`` (scalar, static or traced) gates the carry update: steps with
-    ``t >= valid_T`` pass the state through unchanged. A *reverse* scan over a
-    bucket padded past the batch max length would otherwise consume the extra
-    pad rows *first* and corrupt the state for every real step; with the gate,
-    the state stays at init until the scan reaches ``valid_T - 1``, which is
-    bit-identical to the reference's pad-to-batch-max biLSTM
-    (``/root/reference/test_au_patch.py:287-289`` + ``video_dataloader.py:59-64``).
+    ``valid_T`` (scalar or per-sample ``(B,)``, static or traced) gates the
+    carry update: steps with ``t >= valid_T`` pass the state through
+    unchanged. A *reverse* scan over a bucket padded past the batch max length
+    would otherwise consume the extra pad rows *first* and corrupt the state
+    for every real step; with the gate, the state stays at init until the scan
+    reaches ``valid_T - 1``, which is bit-identical to the reference's
+    pad-to-batch-max biLSTM (``/root/reference/test_au_patch.py:287-289`` +
+    ``video_dataloader.py:59-64``). A per-sample ``valid_T`` makes padding
+    fully inert row by row (quality mode / bucketed serving).
     """
     hidden = params["w_hh"].shape[0]
     w_hh = params["w_hh"]
@@ -69,7 +71,9 @@ def _cell_scan(params: Params, x_proj: jnp.ndarray, h0, c0, reverse: bool, compu
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
         if valid_T is not None:
-            keep = (t < valid_T)
+            keep = t < valid_T  # scalar, or (B,) for per-sample gating
+            if getattr(keep, "ndim", 0):
+                keep = keep[:, None]
             h_new = jnp.where(keep, h_new, h)
             c_new = jnp.where(keep, c_new, c)
         return (h_new, c_new), h_new

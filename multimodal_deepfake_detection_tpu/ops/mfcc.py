@@ -111,13 +111,18 @@ def mfcc(
     fmax: Optional[float] = None,
     htk: bool = False,
     top_db: Optional[float] = 80.0,
+    center: bool = True,
 ) -> jnp.ndarray:
     """Waveform (..., samples) float -> MFCC (..., frames, n_mfcc).
 
     Matches ``librosa.feature.mfcc(...).T`` (the reference transposes to
-    time-major at ``wavfake_audio_dataset.py:44``).
+    time-major at ``wavfake_audio_dataset.py:44``). ``center=False`` skips the
+    reflect pre-pad — for callers that pad on the host (the bucketed serving
+    path, models/serve.py): reflect-padding the true signal there and framing
+    uncentered here makes every frame of the original length bit-identical
+    under zero-padding to a static bucket.
     """
-    frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length)
+    frames = frame_signal(y.astype(jnp.float32), n_fft, hop_length, center=center)
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))  # periodic Hann
     spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
     power = jnp.abs(spec).astype(jnp.float32) ** 2
