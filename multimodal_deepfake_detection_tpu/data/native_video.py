@@ -1,15 +1,20 @@
-"""ctypes bindings for the native (C++) MJPEG-AVI decode engine.
+"""ctypes bindings for the native (C++) video decode engines.
 
-``native/video_decode.cc`` parses the AVI RIFF container, decodes MJPEG
-frames with libjpeg in a GIL-free thread pool, and fuses decode -> bilinear
-resize -> RGB float32/255 into one pass writing straight into the batch
-buffer — replacing the reference's four-pass cv2 Python loop
-(``/root/reference/video_dataloader_enhanced.py`` raw-video branch; mirrored
-by ``data/video_enhanced.py::_decode_video``).
+Two engines, tried in order by :func:`decode_video`:
 
-The wrapper builds the library on first use (g++, cached). ``decode_video``
-returns None for anything the engine can't handle (non-AVI container,
-non-MJPEG codec, missing toolchain) so callers fall back to cv2.
+* ``native/video_decode.cc`` — MJPEG-AVI fast path: RIFF parse + libjpeg in
+  a GIL-free thread pool, fused decode -> bilinear resize -> RGB float32/255.
+* ``native/video_decode_av.cc`` — universal engine over the system
+  libavformat/libavcodec/libswscale: **H.264 mp4 and every other format the
+  real datasets use** (``/root/reference/folder_structure.php:5-18``:
+  ``video.mp4``), decode -> sws_scale(RGB24) -> float32/255 fused into the
+  batch buffer with libavcodec frame threading.
+
+Both replace the reference's four-pass cv2 Python loop
+(``/root/reference/train_visual.py:243-270`` raw-video branch; mirrored by
+``data/video_enhanced.py::_decode_video``). The wrapper builds the libraries
+on first use (g++, cached). ``decode_video`` returns None for anything no
+engine can handle so callers fall back to cv2.
 """
 from __future__ import annotations
 
@@ -70,12 +75,122 @@ def _load_lib():
     return lib
 
 
+_AV_LIB = None
+_AV_LIB_FAILED = False
+
+
+def _load_av_lib():
+    """The libav universal engine (built only when libav*-dev exists)."""
+    global _AV_LIB, _AV_LIB_FAILED
+    if _AV_LIB is not None:
+        return _AV_LIB
+    if _AV_LIB_FAILED:
+        raise ImportError("native libav decode engine unavailable")
+    so_path = os.path.join(_NATIVE_DIR, "libvideo_decode_av.so")
+    src = os.path.join(_NATIVE_DIR, "video_decode_av.cc")
+    try:
+        if not os.path.exists(so_path) or (
+            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so_path)
+        ):
+            subprocess.run(
+                ["sh", os.path.join(_NATIVE_DIR, "build.sh")], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(so_path)
+    except Exception as e:
+        _AV_LIB_FAILED = True
+        raise ImportError(f"native libav decode engine unavailable: {e}") from e
+    lib.vdav_probe.restype = ctypes.c_int64
+    lib.vdav_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.vdav_decode_f32.restype = ctypes.c_int64
+    lib.vdav_decode_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.vdav_encode_test.restype = ctypes.c_int64
+    lib.vdav_encode_test.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_char_p,
+    ]
+    _AV_LIB = lib
+    return lib
+
+
+def encode_test_video(path: str, frames_u8: np.ndarray, *, codec: str = "libx264") -> int:
+    """Author an H.264 (or named-codec) mp4 from (T, H, W, 3) uint8 RGB.
+
+    Test/bench helper: the image's cv2 ships no H.264 encoder, the system
+    libavcodec does. Returns packets written (<= 0 on failure)."""
+    lib = _load_av_lib()
+    arr = np.ascontiguousarray(frames_u8, np.uint8)
+    T, H, W = arr.shape[:3]
+    return int(
+        lib.vdav_encode_test(
+            path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            T, W, H, codec.encode(),
+        )
+    )
+
+
 def native_video_available() -> bool:
     try:
         _load_lib()
         return True
     except Exception:
-        return False
+        try:
+            _load_av_lib()
+            return True
+        except Exception:
+            return False
+
+
+def decode_video_av(
+    path: str,
+    *,
+    size: Optional[Tuple[int, int]] = None,
+    max_frames: Optional[int] = None,
+    threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Decode any libav-supported video (H.264 mp4, ...) to (T, H, W, 3)
+    float32 RGB in [0, 1]. ``size`` is (width, height); None keeps stream
+    size. Returns None on failure (caller falls back)."""
+    try:
+        lib = _load_av_lib()
+    except Exception:
+        return None
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    est = lib.vdav_probe(path.encode(), ctypes.byref(w), ctypes.byref(h))
+    if est < 0:
+        return None
+    cap = int(max_frames) if max_frames is not None else (int(est) if est > 0 else 100_000)
+    if cap <= 0:
+        return None
+    if size is None:
+        out_w, out_h = int(w.value), int(h.value)
+    else:
+        out_w, out_h = int(size[0]), int(size[1])
+    if out_w <= 0 or out_h <= 0:
+        return None
+    out = np.empty((cap, out_h, out_w, 3), np.float32)
+    got = lib.vdav_decode_f32(
+        path.encode(), cap, out_w, out_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(threads),
+    )
+    if got <= 0:
+        return None
+    return out[: int(got)]
 
 
 def probe(path: str) -> Optional[Tuple[int, int, int]]:
@@ -100,19 +215,20 @@ def decode_video(
     max_frames: Optional[int] = None,
     threads: int = 4,
 ) -> Optional[np.ndarray]:
-    """Decode an MJPEG AVI to (T, H, W, 3) float32 RGB in [0, 1].
+    """Decode a video to (T, H, W, 3) float32 RGB in [0, 1].
 
-    ``size`` is (width, height) like cv2.resize; None keeps the stream size.
-    Returns None when the file/codec isn't supported (caller falls back to
-    cv2) or no frame decodes.
+    Tries the MJPEG-AVI fast path first, then the libav universal engine
+    (H.264 mp4 etc.). ``size`` is (width, height) like cv2.resize; None keeps
+    the stream size. Returns None when no engine supports the file (caller
+    falls back to cv2) or no frame decodes.
     """
     try:
         lib = _load_lib()
     except Exception:
-        return None
+        return decode_video_av(path, size=size, max_frames=max_frames)
     h = lib.vd_open(path.encode())
     if not h:
-        return None
+        return decode_video_av(path, size=size, max_frames=max_frames)
     try:
         n = int(lib.vd_frame_count(h))
         if max_frames is not None:

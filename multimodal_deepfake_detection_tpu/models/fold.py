@@ -82,6 +82,8 @@ def folded_xception_apply(
     the path it claims to measure.
     """
     if use_pallas:
+        import os as _os
+
         from ..ops.pallas.sepconv_block import is_middle_block, middle_block_pallas_v2, pack_middle_block
         from ..ops.pallas.sepconv_entry import (
             WHOLE_IMAGE_MAX_ROWS,
@@ -89,6 +91,19 @@ def folded_xception_apply(
             is_fusable_entry_block,
             pack_entry_block,
         )
+
+        # position-major middle flow (ops/pallas/sepconv_pos.py): transpose
+        # the 16^2 trunk once, run the whole middle run in (POS, B, C)
+        use_pos = _os.environ.get("MDFD_MIDDLE_LAYOUT", "") == "pos"
+        if use_pos:
+            from ..ops.pallas.sepconv_pos import (
+                from_pos_layout,
+                middle_block_pos_pallas,
+                to_pos_layout,
+            )
+    else:
+        use_pos = False
+    pos_hw = None  # not None => h is (H*W, B, C) position-major
 
     h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=0, compute_dtype=compute_dtype))
     h = jax.nn.relu(conv2d(params["conv2"], h, stride=1, padding=0, compute_dtype=compute_dtype))
@@ -101,6 +116,12 @@ def folded_xception_apply(
     vw = 0
     for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
         _, _, _, stride, start_with_relu, _ = spec
+        is_pos_middle = (
+            use_pos and stride == 1 and start_with_relu and is_middle_block(bp)
+        )
+        if pos_hw is not None and not is_pos_middle:  # leaving the pos run
+            h = from_pos_layout(h, *pos_hw)
+            pos_hw = None
         logical_w = vw or h.shape[2]
         if use_pallas and stride == 2 and is_fusable_entry_block(bp, (0, h.shape[1], logical_w)):
             # whole-block fusion: [relu] -> sepconv pair -> maxpool3x3/s2 ->
@@ -130,16 +151,22 @@ def folded_xception_apply(
             vw = 0
         if use_pallas and stride == 1 and start_with_relu and is_middle_block(bp):
             dw, pw, b = pack_middle_block(bp)
-            # v2 kernel, measured-best config (tools/microbench.py middle,
-            # PERF.md round 2): fp32 tap accumulation (bit-identical to v1 and
-            # FASTER than bf16 accumulation on the fp32-native VPU), per-image
-            # dots for VPU/MXU overlap, 4 images per grid step.
-            h = middle_block_pallas_v2(
-                h, dw, pw, b, interpret=pallas_interpret,
-                images_per_step=4, precise=True, per_image_dot=True,
-            )
+            if use_pos:
+                if pos_hw is None:
+                    pos_hw = (h.shape[1], h.shape[2])
+                    h = to_pos_layout(h)
+                h = middle_block_pos_pallas(h, dw, pw, b, interpret=pallas_interpret)
+            else:
+                # v2 kernel, measured-best config (tools/microbench.py middle,
+                # PERF.md round 2): fp32 tap accumulation (bit-identical to v1
+                # and FASTER than bf16 accumulation on the fp32-native VPU),
+                # per-image dots for VPU/MXU overlap, 4 images per grid step.
+                h = middle_block_pallas_v2(
+                    h, dw, pw, b, interpret=pallas_interpret,
+                    images_per_step=4, precise=True, per_image_dot=True,
+                )
             if upto == f"block{k + 1}":
-                return h
+                return from_pos_layout(h, *pos_hw) if pos_hw is not None else h
             continue
         inp = h
         # NOTE: two Pallas alternatives for these entry/exit units were built,

@@ -31,8 +31,21 @@ import jax.numpy as jnp
 Params = dict
 State = dict
 
-# Experiment gate (tools/trainbench.py): single-pass BN batch variance.
+# Experiment gates (tools/trainbench.py):
+# single-pass BN batch variance (E[x^2] - E[x]^2, one reduction pass)
 _BN_SINGLE_PASS = os.environ.get("MDFD_BN_SINGLE_PASS", "0") == "1"
+# max-pool implementation: "shift" pools via 9 strided slices + elementwise
+# max, whose backward is pure elementwise select ops — avoiding XLA's
+# select-and-scatter lowering for the reduce_window backward
+_POOL_IMPL = os.environ.get("MDFD_POOL_IMPL", "reduce_window")
+# custom-VJP depthwise conv: backward computes dX as the flipped-kernel
+# depthwise conv and dW as 9 shifted multiply-reduces, instead of XLA's
+# grouped-conv kernel-grad lowering
+_DW_CUSTOM = os.environ.get("MDFD_DW_CUSTOM", "0") == "1"
+# custom-VJP train-mode batch norm: hand-written textbook backward
+# (dbias/dscale reductions + one fused elementwise pass) instead of the
+# autodiff chain through jnp.mean/jnp.var
+_BN_CUSTOM = os.environ.get("MDFD_BN_CUSTOM", "0") == "1"
 
 
 def _pair(v):
@@ -139,9 +152,60 @@ def separable_conv2d(
     compute_dtype=None,
 ) -> jnp.ndarray:
     c = x.shape[-1]
-    x = conv2d(params["depthwise"], x, stride=stride, padding=padding, groups=c, compute_dtype=compute_dtype)
+    w = params["depthwise"]["w"]
+    if (
+        _DW_CUSTOM
+        and stride == 1
+        and padding == 1
+        and w.shape[:2] == (3, 3)
+        and "b" not in params["depthwise"]
+    ):
+        xin = x if compute_dtype is None else x.astype(compute_dtype)
+        win = w if compute_dtype is None else w.astype(compute_dtype)
+        x = _depthwise3x3_custom(xin, win)
+    else:
+        x = conv2d(params["depthwise"], x, stride=stride, padding=padding, groups=c, compute_dtype=compute_dtype)
     x = conv2d(params["pointwise"], x, stride=1, padding=0, compute_dtype=compute_dtype)
     return x
+
+
+@jax.custom_vjp
+def _depthwise3x3_custom(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3, stride 1, pad 1 — forward identical to the grouped conv;
+    the custom backward sidesteps XLA's grouped kernel-grad lowering."""
+    return _dw3x3(x, w)
+
+
+def _dw3x3(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=x.shape[-1],
+    )
+
+
+def _dw3x3_fwd(x, w):
+    return _dw3x3(x, w), (x, w)
+
+
+def _dw3x3_bwd(res, dy):
+    x, w = res
+    B, H, W, C = x.shape
+    # dX: depthwise conv of dy with the spatially flipped taps (stride 1 pad 1)
+    dx = _dw3x3(dy, w[::-1, ::-1])
+    # dW[ky,kx,0,c] = sum_{b,h,w} xpad[b,h+ky,w+kx,c] * dy[b,h,w,c]:
+    # nine shifted elementwise multiply-reduces; XLA fuses them into a single
+    # pass over (x, dy) with 9 accumulators — no grouped-conv kernel-grad.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = []
+    for ky in range(3):
+        for kx in range(3):
+            prod = xp[:, ky : ky + H, kx : kx + W, :].astype(jnp.float32) * dy.astype(jnp.float32)
+            taps.append(jnp.sum(prod, axis=(0, 1, 2)))
+    dw = jnp.stack(taps).reshape(3, 3, 1, C).astype(w.dtype)
+    return dx, dw
+
+
+_depthwise3x3_custom.defvjp(_dw3x3_fwd, _dw3x3_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +219,46 @@ def batch_norm_init(num_features: int, *, dtype=jnp.float32) -> Tuple[Params, St
         "var": jnp.ones((num_features,), jnp.float32),
     }
     return params, state
+
+
+@jax.custom_vjp
+def _bn_train_core(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray):
+    """Train-mode BN normalize: returns (out_f32, mean, var) with batch stats.
+
+    The custom backward is the standard fused BN-VJP (two reductions + one
+    elementwise pass) instead of autodiff through jnp.mean/jnp.var — an
+    experiment gated by MDFD_BN_CUSTOM (tools/trainbench.py)."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    out = (xf - mean) * (rstd * scale) + bias
+    return out, mean, var
+
+
+def _bn_train_core_fwd(x, scale, bias):
+    out, mean, var = _bn_train_core(x, scale, bias)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    return (out, mean, var), (x, mean, rstd, scale)
+
+
+def _bn_train_core_bwd(res, cts):
+    dy, _dmean, _dvar = cts  # stats are used only for running-state updates;
+    # their cotangents are zero in every training loss here
+    x, mean, rstd, scale = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    n = x.size // x.shape[-1]
+    xhat = (xf - mean) * rstd
+    dbias = jnp.sum(dyf, axis=axes)
+    dscale = jnp.sum(dyf * xhat, axis=axes)
+    dx = (scale * rstd / n) * (n * dyf - dbias - xhat * dscale)
+    return dx.astype(x.dtype), dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+_bn_train_core.defvjp(_bn_train_core_fwd, _bn_train_core_bwd)
 
 
 def batch_norm(
@@ -175,6 +279,17 @@ def batch_norm(
     """
     orig_dtype = x.dtype
     reduce_axes = tuple(range(x.ndim - 1))
+    if train and _BN_CUSTOM:
+        out, mean, var = _bn_train_core(
+            x, params["scale"].astype(jnp.float32), params["bias"].astype(jnp.float32)
+        )
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+        return out.astype(orig_dtype), new_state
     if train:
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=reduce_axes)
@@ -207,13 +322,35 @@ def batch_norm(
 # ---------------------------------------------------------------------------
 
 def max_pool2d(x: jnp.ndarray, kernel_size=3, stride=2, padding=1) -> jnp.ndarray:
-    """Max pool with implicit -inf padding (torch semantics)."""
+    """Max pool with implicit -inf padding (torch semantics).
+
+    Two lowerings, same forward values: ``reduce_window`` (XLA's native pool;
+    its backward is a select-and-scatter), or ``shift``
+    (``MDFD_POOL_IMPL=shift``): kh*kw strided slices combined with elementwise
+    ``maximum``, whose backward is a chain of selects — measured per-config in
+    tools/trainbench.py. Tie-breaking of the backward differs (ties are
+    measure-zero for conv outputs); forwards are bit-identical.
+    """
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    # scalar -inf init keeps the reduce_window in the select-and-scatter form
-    # XLA recognizes (and JAX can reverse-differentiate)
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if _POOL_IMPL == "shift":
+        B, H, W, C = x.shape
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), constant_values=neg)
+        Ho = (H + 2 * ph - kh) // sh + 1
+        Wo = (W + 2 * pw - kw) // sw + 1
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, dy, dx, 0),
+                    (B, dy + (Ho - 1) * sh + 1, dx + (Wo - 1) * sw + 1, C),
+                    (1, sh, sw, 1),
+                )
+                out = sl if out is None else jnp.maximum(out, sl)
+        return out
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,120 @@
+"""Position-major (POS, B, C) fused middle-flow block (PERF.md roadmap #1).
+
+The shipped v2 kernel (sepconv_block.py) lays activations out as
+(image, H*W, C): spatial positions ride the sublane axis, so 6 of the 9
+depthwise tap reads start at ``dy*W + dx`` — off the 8-row sublane tile — and
+the per-image tap throughput measured 1.7 T VPU-flop/s vs 2.4 T for aligned
+reads (tools/probe_hwmajor.py, PERF.md r2).
+
+This kernel transposes the 16^2 trunk ONCE to position-major ``(H*W, B, C)``
+(B<->HW transpose measured 0.11 ms / 157 MB): with a batch tile of 8 on the
+sublane axis, EVERY tap offset shifts whole (8, C) tile planes — aligned for
+any (dy, dx) — and the horizontal edge masks become per-position scalars.
+The pointwise matmul takes M = chunk*8 rows. VMEM discipline: the output
+block doubles as the inter-rep activation buffer (pre-relu bf16), so the
+live set is pad scratch + x + out + weights (~15 MB at BT=8, C=728).
+
+Same contract/math as middle_block_pallas_v2 precise mode (fp32 tap
+accumulation, bf16 inter-rep round-trip, folded-BN pointwise bias).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pos_kernel(x_ref, dw_ref, pw_ref, b_ref, out_ref, pad_ref, *, H, W, C, reps, BT, NCH):
+    HW = H * W
+    O = W + 1  # pad offset of position 0
+    CH = HW // NCH
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():  # zero margins once; the interior is rewritten every rep
+        pad_ref[:O] = jnp.zeros((O, BT, C), jnp.bfloat16)
+        pad_ref[O + HW :] = jnp.zeros((W + 1, BT, C), jnp.bfloat16)
+
+    for r in range(reps):
+        src = x_ref if r == 0 else out_ref
+        pad_ref[O : O + HW] = jnp.maximum(src[:].astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+        for c in range(NCH):
+            cs = c * CH
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    start = cs + dy * W + dx
+                    tap = dw_ref[r, dy * 3 + dx, :].astype(jnp.float32)
+                    contrib = pad_ref[start : start + CH].astype(jnp.float32) * tap[None, None, :]
+                    if dx != 1:
+                        wpos = (jax.lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0) + cs) % W
+                        m = (wpos != 0) if dx == 0 else (wpos != W - 1)
+                        contrib = contrib * m.astype(jnp.float32)
+                    acc = contrib if acc is None else acc + contrib
+            o = (
+                jnp.dot(
+                    acc.reshape(CH * BT, C).astype(jnp.bfloat16),
+                    pw_ref[r],
+                    preferred_element_type=jnp.float32,
+                )
+                + b_ref[r][None, :]
+            ).reshape(CH, BT, C)
+            if r + 1 == reps:  # residual add on the final unit
+                o = o + x_ref[cs : cs + CH].astype(jnp.float32)
+            out_ref[cs : cs + CH] = o.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "batch_tile", "pos_chunks"))
+def middle_block_pos_pallas(
+    xp, dw, pw, b, *, interpret: bool = False, batch_tile: int = 8, pos_chunks: int = 4
+):
+    """Fused middle-flow residual block on position-major activations.
+
+    Args:
+        xp: (H*W, B, C) activations — use :func:`to_pos_layout` once around a
+            RUN of middle blocks; consecutive blocks chain with no transpose.
+        dw/pw/b: as in middle_block_pallas_v2 (pack_middle_block output).
+    Returns (H*W, B, C), dtype of xp. Requires batch_tile | B and
+    pos_chunks | H*W; H is inferred as sqrt(H*W) for the square middle trunk.
+    """
+    HW, B, C = xp.shape
+    reps = dw.shape[0]
+    H = W = int(round(HW ** 0.5))
+    assert H * W == HW, "position-major kernel expects the square middle trunk"
+    BT = batch_tile
+    while B % BT:
+        BT //= 2
+    BT = max(BT, 1)
+    NCH = pos_chunks
+    while HW % NCH:
+        NCH //= 2
+    NCH = max(NCH, 1)
+    kernel = partial(_pos_kernel, H=H, W=W, C=C, reps=reps, BT=BT, NCH=NCH)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        in_specs=[
+            pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
+            pl.BlockSpec((reps, 9, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((reps, C, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((reps, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((HW, B, C), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((HW + 2 * W + 2, BT, C), jnp.bfloat16)],
+        interpret=interpret,
+    )(xp, dw.astype(jnp.float32), pw.astype(jnp.bfloat16), b.astype(jnp.float32))
+
+
+def to_pos_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (H*W, B, C); one transpose for a run of middle blocks."""
+    B, H, W, C = x.shape
+    return jnp.transpose(x.reshape(B, H * W, C), (1, 0, 2))
+
+
+def from_pos_layout(xp: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(H*W, B, C) -> (B, H, W, C)."""
+    HW, B, C = xp.shape
+    return jnp.transpose(xp, (1, 0, 2)).reshape(B, H, W, C)

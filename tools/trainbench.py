@@ -40,6 +40,7 @@ def main():
     p.add_argument("--ka", type=int, default=2)
     p.add_argument("--kb", type=int, default=5)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--bn_eval", action="store_true", help="parts: run BN in eval mode inside grad (isolates BN-train backward)")
     p.add_argument("--upto", default="", help="comma list of stages (stages mode)")
     args = p.parse_args()
 
@@ -85,8 +86,10 @@ def main():
         x = data(B)
         y = jnp.asarray(np.arange(B) % 2, jnp.float32)
 
+        bn_train = not args.bn_eval
+
         def loss_fn(p, bn, xin):
-            logits, new_bn = xception_apply(p, bn, xin, train=True, compute_dtype=cdtype, remat=remat)
+            logits, new_bn = xception_apply(p, bn, xin, train=bn_train, compute_dtype=cdtype, remat=remat)
             probs = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
             loss = -jnp.mean(y * jnp.log(probs + 1e-7) + (1 - y) * jnp.log(1 - probs + 1e-7))
             return loss, new_bn
@@ -130,7 +133,7 @@ def main():
 
         def loss_forward(p, bn, rng, batch):
             xin, yy = batch
-            logits, new_bn = xception_apply(p, bn, xin, train=True, compute_dtype=cdtype, remat=remat)
+            logits, new_bn = xception_apply(p, bn, xin, train=bn_train, compute_dtype=cdtype, remat=remat)
             probs = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
             loss = -jnp.mean(yy * jnp.log(probs + 1e-7) + (1 - yy) * jnp.log(1 - probs + 1e-7))
             return loss, (new_bn, probs)
@@ -151,7 +154,7 @@ def main():
 
             return lambda i: run(state0, jnp.int32(i))
 
-        out = {"batch": B, "remat": remat}
+        out = {"batch": B, "remat": remat, "bn_eval": args.bn_eval, "bn_custom": os.environ.get("MDFD_BN_CUSTOM", "0")}
         out["fwd_ms"] = round(kdiff(make_fwd, args.iters) * 1e3, 2)
         print("fwd", out["fwd_ms"], flush=True)
         out["grad_ms"] = round(kdiff(make_grad, args.iters) * 1e3, 2)
