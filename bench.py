@@ -237,10 +237,16 @@ def main():
 
             tka, tkb = 2, 6
             tdev = (timed(make_tchain(tkb)) - timed(make_tchain(tka))) / (tkb - tka)
+            # train-step FLOPs ~ 3x the forward conv FLOPs (backward = input-
+            # grad conv + kernel-grad conv per layer); BN/optimizer FLOPs are
+            # noise at these shapes
+            tflops = 3 * xception_net_flops(tb, args.size)
+            tpeak, _ = device_peak_flops()
             record.update(
                 train_step_ms=round(tdev * 1e3, 2),
                 train_batch=tb,
                 train_frames_per_sec=round(tb / tdev, 1),
+                train_mfu=round(tflops / tdev / tpeak, 4),
             )
         except Exception as e:  # never lose the serving benchmark to this
             print(f"[bench] train measurement failed: {type(e).__name__}: {e}", file=sys.stderr)

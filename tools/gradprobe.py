@@ -122,6 +122,30 @@ def main():
         results["bn128"] = round(ms, 2)
         print(f"bn train 128ch fwd+bwd {ms:.2f} ms", flush=True)
 
+    if "block" in ops:
+        # full block1 composition, ablatable: which interaction blows up the
+        # backward? variants drop one structural element at a time.
+        from multimodal_deepfake_detection_tpu.models.xception import _block_apply, _block_init
+
+        x = jax.device_put(jnp.asarray(rng.random((B, HW, HW, 64)), jnp.bfloat16))
+        variants = {
+            "full": ((64, 128, 2, 2, True, True), True),    # block1 as shipped
+            "bneval": ((64, 128, 2, 2, True, True), False),  # BN eval mode
+            "nopool": ((64, 128, 2, 1, True, True), True),   # stride 1: no maxpool
+            "noskip": ((64, 64, 2, 1, True, True), True),    # identity skip
+        }
+        for variant, (vspec, train_flag) in variants.items():
+            vp, vs = _block_init(jax.random.PRNGKey(0), vspec, jnp.float32)
+            vp, vs = jax.device_put(vp), jax.device_put(vs)
+
+            def loss(p, xin, _spec=vspec, _train=train_flag, _vs=vs):
+                out, _ = _block_apply(p, _vs, _spec, xin, train=_train, compute_dtype=jnp.bfloat16)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            ms = kdiff(chain(loss, x, vp)) * 1e3
+            results[f"block1_{variant}"] = round(ms, 2)
+            print(f"block1[{variant}] fwd+bwd {ms:.2f} ms", flush=True)
+
     if "sep" in ops:
         # one full unit: dw + pw + BN (the block1 unit shape)
         x = jax.device_put(jnp.asarray(rng.random((B, HW, HW, 64)), jnp.bfloat16))

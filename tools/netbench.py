@@ -61,9 +61,13 @@ def main():
         stages = [s for s in stages if s in keep or s == "stem"]
 
     # The relay has a ~30 ms per-call floor that swallows single-prefix device
-    # time — so each prefix is applied K times on per-iteration-perturbed
-    # inputs inside ONE jit, and per-prefix device time is the K-difference
-    # (T(kb) - T(ka)) / (kb - ka), floor and upload cancelled.
+    # time — so each prefix is applied K times inside ONE jit and per-prefix
+    # device time is the K-difference (T(kb) - T(ka)) / (kb - ka), floor and
+    # upload cancelled. The carried input is re-perturbed by a DATA-DEPENDENT
+    # numerically-null factor (bench.py:147-163): each iteration's input is a
+    # fresh tensor, so nothing — including the stem conv — can be CSE'd or
+    # scalar-factored across iterations. (The old constant-scalar multiply
+    # commuted through the first conv and under-measured the stem; PERF.md.)
     KA, KB = 4, 12
 
     def make_prefix(upto, K):
@@ -71,14 +75,19 @@ def main():
 
         @jax.jit
         def fwd(p, xin, i):
-            def body(t, s):
-                h = xin * (1.0 + (i * K + t).astype(jnp.float32) * 1e-6)
+            h0 = xin * (1.0 + i.astype(jnp.float32) * 1e-6)
+
+            def body(t, carry):
+                h, acc = carry
                 out = folded_xception_apply(
                     p, h, upto=upto, compute_dtype=jnp.bfloat16, use_pallas=args.pallas
                 )
-                return s + jnp.sum(out.astype(jnp.float32))
+                s = jnp.sum(out.astype(jnp.float32))
+                h = (h.astype(jnp.float32) * (1.0 + s * 1e-38)).astype(xin.dtype)
+                return h, acc + s
 
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+            _, acc = jax.lax.fori_loop(0, K, body, (h0, jnp.float32(0)))
+            return acc
 
         return lambda i: fwd(folded, x, jnp.int32(i))
 
