@@ -164,3 +164,24 @@ def test_state_snapshot_roundtrip(tmp_path):
     restored = load_state(path, like=state)
     assert int(restored.step) == 5
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(3.0))
+
+
+def test_remat_grads_match_baseline():
+    """xception_apply(remat=True) must change scheduling only, not gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_deepfake_detection_tpu.models.xception import xception_apply, xception_init
+
+    params, state = xception_init(jax.random.PRNGKey(0), num_classes=2)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)), jnp.float32)
+
+    def loss(p, remat):
+        logits, _ = xception_apply(p, state, x, train=True, remat=remat)
+        return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)

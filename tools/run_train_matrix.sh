@@ -20,4 +20,6 @@ run python tools/trainbench.py step --batches 128,256 --iters 6
 # 5. serving pos-layout middle flow, in-situ
 run env MDFD_MIDDLE_LAYOUT=pos python tools/netbench.py --iters 8 --upto block11,block12,exit
 run python tools/netbench.py --iters 8 --upto block11,block12,exit
+# 6. re-publish the in-situ stage budget with the fixed (chained) perturbation
+run python tools/netbench.py --iters 8
 echo MATRIX-DONE >> "$LOG"
