@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -221,8 +222,8 @@ def batch_norm_init(num_features: int, *, dtype=jnp.float32) -> Tuple[Params, St
     return params, state
 
 
-@jax.custom_vjp
-def _bn_train_core(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray):
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_core(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5):
     """Train-mode BN normalize: returns (out_f32, mean, var) with batch stats.
 
     The custom backward is the standard fused BN-VJP (two reductions + one
@@ -232,18 +233,18 @@ def _bn_train_core(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray):
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(xf, axis=axes)
     var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + 1e-5)
+    rstd = jax.lax.rsqrt(var + eps)
     out = (xf - mean) * (rstd * scale) + bias
     return out, mean, var
 
 
-def _bn_train_core_fwd(x, scale, bias):
-    out, mean, var = _bn_train_core(x, scale, bias)
-    rstd = jax.lax.rsqrt(var + 1e-5)
+def _bn_train_core_fwd(x, scale, bias, eps):
+    out, mean, var = _bn_train_core(x, scale, bias, eps)
+    rstd = jax.lax.rsqrt(var + eps)
     return (out, mean, var), (x, mean, rstd, scale)
 
 
-def _bn_train_core_bwd(res, cts):
+def _bn_train_core_bwd(eps, res, cts):
     dy, _dmean, _dvar = cts  # stats are used only for running-state updates;
     # their cotangents are zero in every training loss here
     x, mean, rstd, scale = res
@@ -281,7 +282,7 @@ def batch_norm(
     reduce_axes = tuple(range(x.ndim - 1))
     if train and _BN_CUSTOM:
         out, mean, var = _bn_train_core(
-            x, params["scale"].astype(jnp.float32), params["bias"].astype(jnp.float32)
+            x, params["scale"].astype(jnp.float32), params["bias"].astype(jnp.float32), eps
         )
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
