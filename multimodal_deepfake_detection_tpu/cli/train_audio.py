@@ -52,6 +52,8 @@ class Config:
     compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
     buckets: Tuple[int, ...] = (120,)  # audio clips are 120 MFCC frames (SURVEY C6)
     mask_padding: bool = True  # False = reference's pad-consuming LSTM quirk
+    # rematerialize backbone blocks in the backward pass (jax.checkpoint)
+    remat: bool = False
     freeze_backbone: bool = True  # reference freezes Xception (XceptionLSTMA.py:11-12)
     native_loader: bool = False  # C++ batched npy collate (native/npy_collate.cc)
     jsonl_log: Optional[str] = None  # path for structured per-epoch JSONL metrics
@@ -91,7 +93,8 @@ def build(config: Config, train_ds=None, eval_ds=None):
     def _forward(params, bn_state, rng, batch, train):
         x, labels, lengths = batch
         feats, new_bn = xception_lstm_features(
-            params, bn_state, x, mode="audio", train=train, compute_dtype=cdtype
+            params, bn_state, x, mode="audio", train=train, compute_dtype=cdtype,
+            remat=config.remat and train,
         )
         probs = xception_lstm_head_apply(
             params,

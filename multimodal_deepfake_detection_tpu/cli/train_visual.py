@@ -74,6 +74,8 @@ class Config:
     compute_dtype: str = "bfloat16"
     buckets: Tuple[int, ...] = (25, 50)
     mask_padding: bool = True
+    # rematerialize backbone blocks in the backward pass (jax.checkpoint)
+    remat: bool = False
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
     tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
     ckpt_backend: str = "npz"  # 'npz' | 'orbax' (versioned, preemption-safe)
@@ -128,7 +130,8 @@ def build(config: Config, train_ds=None, eval_ds=None):
     def _forward(params, bn_state, rng, batch, train):
         video, labels, lengths = batch
         feats, new_bn = xception_lstm_features(
-            params, bn_state, video, mode="video", train=train, compute_dtype=cdtype
+            params, bn_state, video, mode="video", train=train, compute_dtype=cdtype,
+            remat=config.remat and train,
         )
         emb = xception_lstm_embed(
             params, feats, lengths=lengths, mask_padding=config.mask_padding, compute_dtype=cdtype

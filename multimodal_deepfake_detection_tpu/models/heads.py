@@ -63,6 +63,7 @@ def xception_lstm_features(
     mode: str,
     train: bool = False,
     compute_dtype=None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Per-step 2048-d backbone features.
 
@@ -84,7 +85,8 @@ def xception_lstm_features(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     feats, new_bstate = xception_apply(
-        params["backbone"], state["backbone"], frames, train=train, compute_dtype=compute_dtype
+        params["backbone"], state["backbone"], frames, train=train, compute_dtype=compute_dtype,
+        remat=remat,
     )
     return feats.reshape(B, T, FEATURE_DIM), {"backbone": new_bstate}
 
