@@ -139,20 +139,42 @@ class TrainLoop:
         all_labels.extend(np.asarray(labels).ravel().astype(int)[mask].tolist())
 
     def _train_epoch(self, epoch: int):
+        # One-step deferred readback: jax dispatch is async, so reading step
+        # i's loss only after step i+1 has been ENQUEUED lets the host
+        # (collate, metric collection, the next device_put) overlap device
+        # compute — and amortizes this environment's per-call RPC floor the
+        # same way servebench's pipelined mode does. Step semantics unchanged:
+        # the state threading is untouched, only scalars are read late.
         losses, all_probs, all_labels = [], [], []
+        pending = None
         for i, (batch, labels, lengths) in enumerate(self.train_loader):
             rng_seed = self.seed * 1_000_003 + epoch * 10_007 + i
             self.state, loss, probs = self.train_step(self.state, (batch, labels, lengths), rng_seed, epoch)
-            losses.append(float(loss))
-            self._collect(all_probs, all_labels, probs, labels, lengths)
+            if pending is not None:
+                p_loss, p_probs, p_labels, p_lengths = pending
+                losses.append(float(p_loss))
+                self._collect(all_probs, all_labels, p_probs, p_labels, p_lengths)
+            pending = (loss, probs, labels, lengths)
+        if pending is not None:
+            p_loss, p_probs, p_labels, p_lengths = pending
+            losses.append(float(p_loss))
+            self._collect(all_probs, all_labels, p_probs, p_labels, p_lengths)
         return float(np.mean(losses)) if losses else 0.0, all_labels, all_probs
 
     def _eval_epoch(self):
         losses, all_probs, all_labels = [], [], []
+        pending = None
         for batch, labels, lengths in self.eval_loader:
             loss, probs = self.eval_step(self.state, (batch, labels, lengths))
-            losses.append(float(loss))
-            self._collect(all_probs, all_labels, probs, labels, lengths)
+            if pending is not None:
+                p_loss, p_probs, p_labels, p_lengths = pending
+                losses.append(float(p_loss))
+                self._collect(all_probs, all_labels, p_probs, p_labels, p_lengths)
+            pending = (loss, probs, labels, lengths)
+        if pending is not None:
+            p_loss, p_probs, p_labels, p_lengths = pending
+            losses.append(float(p_loss))
+            self._collect(all_probs, all_labels, p_probs, p_labels, p_lengths)
         return float(np.mean(losses)) if losses else 0.0, all_labels, all_probs
 
     def run(self) -> List[EpochResult]:
