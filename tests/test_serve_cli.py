@@ -91,3 +91,39 @@ def test_serve_au_patch(tmp_path):
     assert n == 2
     recs = [json.loads(l) for l in out.read_text().splitlines()]
     assert all(np.isfinite(r["score"]) for r in recs)
+
+
+def test_serve_au_face(tmp_path):
+    from multimodal_deepfake_detection_tpu.models.au_face import au_face_detector_init
+
+    params, bn_state = au_face_detector_init(
+        jax.random.PRNGKey(3), num_aus=3, face_dim=8, au_dim=8, lstm_hidden=4
+    )
+    bundle = str(tmp_path / "auf.npz")
+    save_bundle(bundle, {"model": params, "state": bn_state})
+    rng = np.random.default_rng(2)
+    vroot, aroot = tmp_path / "faces", tmp_path / "aus"
+    vroot.mkdir()
+    aroot.mkdir()
+    for name, t in (("p", 3), ("q", 2)):
+        np.save(vroot / f"{name}.npy", (rng.random((t, 16, 16, 3)) * 255).astype(np.uint8))
+        np.save(aroot / f"{name}.npy", (rng.random((t, 3, 8, 8, 3)) * 255).astype(np.uint8))
+    out = tmp_path / "f.jsonl"
+    n = serve.main(
+        [
+            "--engine", "au_face",
+            "--ckpt_path", bundle,
+            "--input", str(vroot),
+            "--au_input", str(aroot),
+            "--output", str(out),
+            "--num_aus", "3",
+            "--lstm_hidden", "4",
+            "--batch_size", "2",
+            "--buckets", "4",
+            "--compute_dtype", "float32",
+        ],
+        log=lambda s: None,
+    )
+    assert n == 2
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert all(np.isfinite(r["score"]) for r in recs)
