@@ -93,8 +93,12 @@ def folded_xception_apply(
         )
 
         # position-major middle flow (ops/pallas/sepconv_pos.py): transpose
-        # the 16^2 trunk once, run the whole middle run in (POS, B, C)
-        use_pos = _os.environ.get("MDFD_MIDDLE_LAYOUT", "") == "pos"
+        # the 16^2 trunk once, run the whole middle run in (POS, B, C).
+        # DEFAULT by in-situ measurement (tools/netbench.py, PERF.md r3):
+        # net 37.04 ms vs 38.24 at B=256 — every depthwise tap is an aligned
+        # (BT, C) tile-plane row offset. MDFD_MIDDLE_LAYOUT=hw restores the
+        # image-major v2 kernel.
+        use_pos = _os.environ.get("MDFD_MIDDLE_LAYOUT", "pos") == "pos"
         if use_pos:
             from ..ops.pallas.sepconv_pos import (
                 from_pos_layout,

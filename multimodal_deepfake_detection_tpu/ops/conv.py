@@ -43,10 +43,20 @@ _POOL_IMPL = os.environ.get("MDFD_POOL_IMPL", "reduce_window")
 # depthwise conv and dW as 9 shifted multiply-reduces, instead of XLA's
 # grouped-conv kernel-grad lowering
 _DW_CUSTOM = os.environ.get("MDFD_DW_CUSTOM", "0") == "1"
+# pointwise-conv implementation: "dot" routes 1x1/stride-1/group-1 convs
+# through a reshaped dot_general — a bitcast view (C stays on the lane axis)
+# whose autodiff backward is two more matmuls, sidestepping XLA's
+# 125x125-window kernel-grad conv lowering in the entry-block backward
+# (PERF.md round-3 HLO evidence)
+_PW_IMPL = os.environ.get("MDFD_PW_IMPL", "conv")
 # custom-VJP train-mode batch norm: hand-written textbook backward
 # (dbias/dscale reductions + one fused elementwise pass) instead of the
-# autodiff chain through jnp.mean/jnp.var
-_BN_CUSTOM = os.environ.get("MDFD_BN_CUSTOM", "0") == "1"
+# autodiff chain through jnp.mean/jnp.var. DEFAULT ON by measurement
+# (PERF.md round-3 matrix: step 47.61 ms vs 52.3 at B=64 — the single-pass
+# E[x^2]-E[x]^2 stats fuse the forward's variance into one activation read,
+# and the fused backward saves another ~4 ms). MDFD_BN_CUSTOM=0 restores
+# the autodiff path.
+_BN_CUSTOM = os.environ.get("MDFD_BN_CUSTOM", "1") == "1"
 
 
 def _pair(v):
@@ -106,14 +116,29 @@ def conv2d(
     else:
         ph, pw = _pair(padding)
         pad = ((ph, ph), (pw, pw))
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(sh, sw),
-        padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    if (
+        _PW_IMPL == "dot"
+        and w.shape[0] == w.shape[1] == 1
+        and groups == 1
+        and (sh, sw) == (1, 1)
+        and (pad == "VALID" or pad == ((0, 0), (0, 0)))
+    ):
+        b, h, wd, ci = x.shape
+        out = jax.lax.dot_general(
+            x.reshape(b * h * wd, ci),
+            w.reshape(ci, w.shape[-1]),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+        ).reshape(b, h, wd, w.shape[-1])
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(sh, sw),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out
@@ -227,8 +252,10 @@ def _bn_train_core(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: f
     """Train-mode BN normalize: returns (out_f32, mean, var) with batch stats.
 
     The custom backward is the standard fused BN-VJP (two reductions + one
-    elementwise pass) instead of autodiff through jnp.mean/jnp.var — an
-    experiment gated by MDFD_BN_CUSTOM (tools/trainbench.py)."""
+    elementwise pass) instead of autodiff through jnp.mean/jnp.var; the
+    single-pass variance fuses the forward stats into one activation read.
+    Default path (gradient-equivalence tested); MDFD_BN_CUSTOM=0 restores
+    autodiff BN."""
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(xf, axis=axes)
@@ -245,8 +272,8 @@ def _bn_train_core_fwd(x, scale, bias, eps):
 
 
 def _bn_train_core_bwd(eps, res, cts):
-    dy, _dmean, _dvar = cts  # stats are used only for running-state updates;
-    # their cotangents are zero in every training loss here
+    dy, _dmean, _dvar = cts  # (mean, var) feed only the stop_gradient'd
+    # running-state update, so their cotangents are exactly zero
     x, mean, rstd, scale = res
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
@@ -284,6 +311,11 @@ def batch_norm(
         out, mean, var = _bn_train_core(
             x, params["scale"].astype(jnp.float32), params["bias"].astype(jnp.float32), eps
         )
+        # Running-state updates are no-grad buffer writes (torch BN contract);
+        # stop_gradient makes the custom VJP's zero-cotangent assumption for
+        # the (mean, var) outputs exact by construction.
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

@@ -39,7 +39,17 @@ def _pos_kernel(x_ref, dw_ref, pw_ref, b_ref, out_ref, pad_ref, *, H, W, C, reps
 
     for r in range(reps):
         src = x_ref if r == 0 else out_ref
-        pad_ref[O : O + HW] = jnp.maximum(src[:].astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+        # relu directly in bf16 (max(x, 0) is exact in any dtype) and CHUNKED:
+        # a whole-image store temp is a ~3 MB Mosaic stack tenant, and the
+        # 16 MB scoped-VMEM budget at BT=8/C=728 has no room for it
+        # (measured OOMs: 17.34M/16.59M/16.14M across shrinking variants,
+        # PERF.md round 3)
+        for c in range(NCH):
+            cs = c * CH
+            chunk = src[cs : cs + CH]
+            pad_ref[O + cs : O + cs + CH] = jnp.maximum(
+                chunk, jnp.zeros((), chunk.dtype)
+            ).astype(jnp.bfloat16)
         for c in range(NCH):
             cs = c * CH
             acc = None
@@ -68,7 +78,7 @@ def _pos_kernel(x_ref, dw_ref, pw_ref, b_ref, out_ref, pad_ref, *, H, W, C, reps
 
 @partial(jax.jit, static_argnames=("interpret", "batch_tile", "pos_chunks"))
 def middle_block_pos_pallas(
-    xp, dw, pw, b, *, interpret: bool = False, batch_tile: int = 8, pos_chunks: int = 4
+    xp, dw, pw, b, *, interpret: bool = False, batch_tile: int = 8, pos_chunks: int = 8
 ):
     """Fused middle-flow residual block on position-major activations.
 
@@ -78,6 +88,10 @@ def middle_block_pos_pallas(
         dw/pw/b: as in middle_block_pallas_v2 (pack_middle_block output).
     Returns (H*W, B, C), dtype of xp. Requires batch_tile | B and
     pos_chunks | H*W; H is inferred as sqrt(H*W) for the square middle trunk.
+    VMEM discipline (16 MB scoped limit at BT=8/C=728, measured on the real
+    chip — PERF.md round 3): the relu pad-refill is chunked and bf16, and
+    pos_chunks=8 bounds the fp32 tap-accumulator stack temporaries (CH*BT*C)
+    — whole-image fp32 temps OOM'd the Mosaic stack by up to 1.34 MB.
     """
     HW, B, C = xp.shape
     reps = dw.shape[0]
@@ -104,6 +118,11 @@ def middle_block_pos_pallas(
         out_specs=pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((HW, B, C), xp.dtype),
         scratch_shapes=[pltpu.VMEM((HW + 2 * W + 2, BT, C), jnp.bfloat16)],
+        # the resident set (double-buffered I/O blocks + pad scratch + packed
+        # pointwise weights) legitimately needs ~17 MB at BT=8/C=728; the
+        # default 16 MB scoped-VMEM budget is a soft compiler default, not
+        # the hardware's (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(xp, dw.astype(jnp.float32), pw.astype(jnp.bfloat16), b.astype(jnp.float32))
 

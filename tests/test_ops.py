@@ -217,3 +217,55 @@ def test_resize_bilinear_matches_torch_interpolate():
     ref = TF.interpolate(x, size=(64, 64), mode="bilinear", align_corners=False).numpy().transpose(0, 2, 3, 1)
     out = ops.resize_bilinear(_nhwc(x), (64, 64))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_norm_custom_vjp_grad_equivalence(monkeypatch):
+    """The default custom BN VJP (fused backward + single-pass stats) must be
+    gradient- and state-equivalent to plain autodiff through jnp.mean/jnp.var,
+    and both must match torch's BN backward. PERF.md round-3: the custom path
+    is the default by measurement (47.61 vs 52.3 ms/step at B=64)."""
+    from multimodal_deepfake_detection_tpu.ops import conv as conv_mod
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4, 5, 5, 6)), jnp.float32)
+    params = {
+        "scale": jnp.asarray(rng.uniform(0.5, 1.5, (6,)), jnp.float32),
+        "bias": jnp.asarray(rng.uniform(-0.5, 0.5, (6,)), jnp.float32),
+    }
+    state = {"mean": jnp.zeros((6,), jnp.float32), "var": jnp.ones((6,), jnp.float32)}
+    dy = jnp.asarray(rng.normal(size=(4, 5, 5, 6)), jnp.float32)
+
+    def run():
+        def loss(p, xin):
+            out, new_state = ops.batch_norm(p, state, xin, train=True)
+            return jnp.sum(out * dy), new_state
+
+        (val, new_state), grads = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(params, x)
+        return val, new_state, grads
+
+    monkeypatch.setattr(conv_mod, "_BN_CUSTOM", True)
+    val_c, state_c, (gp_c, gx_c) = run()
+    monkeypatch.setattr(conv_mod, "_BN_CUSTOM", False)
+    val_a, state_a, (gp_a, gx_a) = run()
+
+    np.testing.assert_allclose(float(val_c), float(val_a), rtol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(state_c[k]), np.asarray(state_a[k]), rtol=1e-5, atol=1e-5)
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(gp_c[k]), np.asarray(gp_a[k]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-4)
+
+    # cross-check dx against torch's BN backward
+    xt = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2), requires_grad=True)
+    bn = torch.nn.BatchNorm2d(6)
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(np.asarray(params["scale"])))
+        bn.bias.copy_(torch.tensor(np.asarray(params["bias"])))
+    bn.train(True)
+    out_t = bn(xt)
+    out_t.backward(torch.tensor(np.asarray(dy).transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(gx_c), xt.grad.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(gp_c["scale"]), bn.weight.grad.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gp_c["bias"]), bn.bias.grad.numpy(), rtol=1e-3, atol=1e-3)

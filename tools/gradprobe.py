@@ -146,6 +146,113 @@ def main():
             results[f"block1_{variant}"] = round(ms, 2)
             print(f"block1[{variant}] fwd+bwd {ms:.2f} ms", flush=True)
 
+    if "split" in ops:
+        # split block1's backward into its dx-chain (grad wrt the input only;
+        # kernel-grad convs dead-code away) vs dw-chain (grad wrt params only)
+        # — in the REAL composition, where the 23.5 ms lives (PERF.md r3).
+        from multimodal_deepfake_detection_tpu.models.xception import _block_apply, _block_init
+
+        spec = (64, 128, 2, 2, True, True)
+        bp, bs = _block_init(jax.random.PRNGKey(0), spec, jnp.float32)
+        bp, bs = jax.device_put(bp), jax.device_put(bs)
+        x = jax.device_put(jnp.asarray(rng.random((B, HW, HW, 64)), jnp.bfloat16))
+
+        def block_loss(p, xin):
+            out, _ = _block_apply(p, bs, spec, xin, train=True, compute_dtype=jnp.bfloat16)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        for which, argnums in (("dx_only", 1), ("dw_only", 0), ("both", (0, 1))):
+            grad_fn = jax.value_and_grad(block_loss, argnums=argnums)
+
+            def build(K, _g=grad_fn):
+                @jax.jit
+                def run(p, xin, i):
+                    h0 = (xin.astype(jnp.float32) * (1.0 + i.astype(jnp.float32) * 1e-6)).astype(xin.dtype)
+
+                    def body(_, carry):
+                        h, acc = carry
+                        loss, g = _g(p, h)
+                        gsum = sum(jnp.sum(gg.astype(jnp.float32)) for gg in jax.tree_util.tree_leaves(g))
+                        h = (h.astype(jnp.float32) * (1.0 + (loss + gsum) * 1e-38)).astype(xin.dtype)
+                        return h, acc + loss
+
+                    _, acc = jax.lax.fori_loop(0, K, body, (h0, jnp.float32(0)))
+                    return acc
+
+                return lambda i: run(bp, x, jnp.int32(i))
+
+            ms = kdiff(build) * 1e3
+            results[f"block1_{which}"] = round(ms, 2)
+            print(f"block1[{which}] fwd+bwd {ms:.2f} ms", flush=True)
+
+    if "kgrad" in ops:
+        # per-kernel-grad attribution: grad of block1 wrt ONE conv weight at a
+        # time (the other kernel-grad contractions dead-code away; the
+        # dx-chain up to that weight's use site remains). Differences between
+        # rows isolate each kernel-grad conv's cost.
+        from multimodal_deepfake_detection_tpu.models.xception import _block_apply, _block_init
+
+        spec = (64, 128, 2, 2, True, True)
+        bp, bs = _block_init(jax.random.PRNGKey(0), spec, jnp.float32)
+        bp, bs = jax.device_put(bp), jax.device_put(bs)
+        x = jax.device_put(jnp.asarray(rng.random((B, HW, HW, 64)), jnp.bfloat16))
+
+        def set_leaf(path, leaf):
+            p = {"units": [dict(u) for u in bp["units"]], "skip": dict(bp["skip"])}
+            if path[0] == "skip":
+                p["skip"] = {**p["skip"], "conv": {"w": leaf}}
+            else:
+                i = path[1]
+                p["units"][i] = {**p["units"][i], "sep": {**p["units"][i]["sep"], path[2]: {"w": leaf}}}
+            return p
+
+        leaves = {
+            "none": None,
+            "u0_dw": ("units", 0, "depthwise"),
+            "u0_pw": ("units", 0, "pointwise"),
+            "u1_dw": ("units", 1, "depthwise"),
+            "u1_pw": ("units", 1, "pointwise"),
+            "skip": ("skip",),
+        }
+        for name, path in leaves.items():
+            if path is None:
+                def loss(leaf, xin):
+                    out, _ = _block_apply(bp, bs, spec, xin, train=True, compute_dtype=jnp.bfloat16)
+                    return jnp.sum(out.astype(jnp.float32) ** 2) * (1.0 + 0.0 * jnp.sum(leaf))
+                leaf0 = jnp.float32(0)
+            else:
+                if path[0] == "skip":
+                    leaf0 = bp["skip"]["conv"]["w"]
+                else:
+                    leaf0 = bp["units"][path[1]]["sep"][path[2]]["w"]
+
+                def loss(leaf, xin, _path=path):
+                    out, _ = _block_apply(set_leaf(_path, leaf), bs, spec, xin, train=True, compute_dtype=jnp.bfloat16)
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            grad_fn = jax.value_and_grad(loss)
+
+            def build(K, _g=grad_fn, _l=leaf0):
+                @jax.jit
+                def run(leaf, xin, i):
+                    h0 = (xin.astype(jnp.float32) * (1.0 + i.astype(jnp.float32) * 1e-6)).astype(xin.dtype)
+
+                    def body(_, carry):
+                        h, acc = carry
+                        lv, g = _g(leaf, h)
+                        gsum = jnp.sum(g.astype(jnp.float32))
+                        h = (h.astype(jnp.float32) * (1.0 + (lv + gsum) * 1e-38)).astype(xin.dtype)
+                        return h, acc + lv
+
+                    _, acc = jax.lax.fori_loop(0, K, body, (h0, jnp.float32(0)))
+                    return acc
+
+                return lambda i: run(_l, x, jnp.int32(i))
+
+            ms = kdiff(build) * 1e3
+            results[f"kgrad_{name}"] = round(ms, 2)
+            print(f"block1 kgrad[{name}] fwd+bwd {ms:.2f} ms", flush=True)
+
     if "sep" in ops:
         # one full unit: dw + pw + BN (the block1 unit shape)
         x = jax.device_put(jnp.asarray(rng.random((B, HW, HW, 64)), jnp.bfloat16))

@@ -75,7 +75,7 @@ def main():
 
         @jax.jit
         def fwd(p, xin, i):
-            h0 = xin * (1.0 + i.astype(jnp.float32) * 1e-6)
+            h0 = (xin.astype(jnp.float32) * (1.0 + i.astype(jnp.float32) * 1e-6)).astype(xin.dtype)
 
             def body(t, carry):
                 h, acc = carry

@@ -154,7 +154,9 @@ def main():
 
             return lambda i: run(state0, jnp.int32(i))
 
-        out = {"batch": B, "remat": remat, "bn_eval": args.bn_eval, "bn_custom": os.environ.get("MDFD_BN_CUSTOM", "0")}
+        from multimodal_deepfake_detection_tpu.ops import conv as _conv
+
+        out = {"batch": B, "remat": remat, "bn_eval": args.bn_eval, "bn_custom": _conv._BN_CUSTOM}
         out["fwd_ms"] = round(kdiff(make_fwd, args.iters) * 1e3, 2)
         print("fwd", out["fwd_ms"], flush=True)
         out["grad_ms"] = round(kdiff(make_grad, args.iters) * 1e3, 2)
