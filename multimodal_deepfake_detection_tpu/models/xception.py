@@ -22,10 +22,13 @@ projection skip whenever channels or stride change.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_BLOCK_BARRIER = os.environ.get("MDFD_BLOCK_BARRIER", "0") == "1"
 
 from ..ops.conv import (
     batch_norm,
@@ -163,7 +166,14 @@ def xception_apply(
         return h, new_state
 
     def block_fn(bp, bs, spec, h):
-        return _block_apply(bp, bs, spec, h, train=train, compute_dtype=compute_dtype)
+        out, nbs = _block_apply(bp, bs, spec, h, train=train, compute_dtype=compute_dtype)
+        if _BLOCK_BARRIER:
+            # experiment gate (MDFD_BLOCK_BARRIER=1, tools/trainbench.py):
+            # pin a fusion boundary at every block edge — probes whether the
+            # backward's compositional cost comes from XLA building
+            # unfortunate cross-block fusions
+            out = jax.lax.optimization_barrier(out)
+        return out, nbs
 
     if remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=(2,))

@@ -57,6 +57,12 @@ _PW_IMPL = os.environ.get("MDFD_PW_IMPL", "conv")
 # and the fused backward saves another ~4 ms). MDFD_BN_CUSTOM=0 restores
 # the autodiff path.
 _BN_CUSTOM = os.environ.get("MDFD_BN_CUSTOM", "1") == "1"
+# bf16 dx-chain inside the custom BN backward: keeps the fp32 dbias/dscale
+# reductions but computes the full-size dx elementwise pass in bf16 (the fp32
+# intermediates at entry shapes are 512 MB apiece and the backward is
+# HBM-bound on them). Experiment gate; gradient error vs fp32 chain is
+# bounded by bf16 rounding of already-bf16 activations.
+_BN_BWD_BF16 = os.environ.get("MDFD_BN_BWD_BF16", "0") == "1"
 
 
 def _pair(v):
@@ -282,6 +288,19 @@ def _bn_train_core_bwd(eps, res, cts):
     xhat = (xf - mean) * rstd
     dbias = jnp.sum(dyf, axis=axes)
     dscale = jnp.sum(dyf * xhat, axis=axes)
+    if _BN_BWD_BF16 and x.dtype == jnp.bfloat16:
+        # dx elementwise chain entirely in bf16: the fp32 intermediates at
+        # entry shapes are 512 MB apiece and the backward is HBM-bound on
+        # them (PERF.md round 3). The reductions above stay fp32; the
+        # per-channel fp32 scalars fold into three bf16 vectors, so the only
+        # full-size tensors touched are bf16: dy, x, dx.
+        # dx = a*dy - b - c*(x - mean), a = scale*rstd, b = a*dbias/n,
+        # c = a*rstd*dscale/n
+        a = (scale * rstd).astype(jnp.bfloat16)
+        bvec = ((scale * rstd / n) * dbias).astype(jnp.bfloat16)
+        cvec = ((scale * rstd * rstd / n) * dscale).astype(jnp.bfloat16)
+        dx = dy.astype(jnp.bfloat16) * a - bvec - (x - mean.astype(jnp.bfloat16)) * cvec
+        return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
     dx = (scale * rstd / n) * (n * dyf - dbias - xhat * dscale)
     return dx.astype(x.dtype), dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
