@@ -68,6 +68,13 @@ def main():
         action=argparse.BooleanOptionalAction,
         help="also measure relay-free device time via chained K-differencing and report MFU",
     )
+    parser.add_argument(
+        "--quant",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="also measure the opt-in w8a8 quantized serving path (supplementary "
+        "fields; the headline stays the exact-semantics fp path)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -193,6 +200,58 @@ def main():
             device_kind=peak_kind,
             net_gflops_per_batch=round(flops / 1e9, 1),
         )
+
+    if args.quant and not args.no_fold_bn and platform != "cpu":
+        # Supplementary: the w8a8 quantized serving path (models/quant.py —
+        # int8 weights + static activation scales, int8 depthwise so the
+        # bandwidth-bound entry blocks move half the bytes). NOT the
+        # headline: quantized scores match fp only to calibration tolerance
+        # (feature cos ~0.9999 measured), so the exact-semantics fp number
+        # above remains `value`.
+        try:
+            from multimodal_deepfake_detection_tpu.models.quant import (
+                calibrate_amax,
+                quantize_folded_xception,
+                quantized_xception_apply,
+            )
+
+            amaxes = calibrate_amax(folded, x[:32], compute_dtype=cdtype)
+            qtree = jax.device_put(quantize_folded_xception(folded, amaxes, quant_depthwise=True))
+
+            def make_qchain(K):
+                @jax.jit
+                def chain(p, xin, i):
+                    h = xin * (1.0 + i.astype(jnp.float32) * 1e-6).astype(xin.dtype)
+
+                    def body(_, carry):
+                        h, acc = carry
+                        s = jnp.sum(
+                            quantized_xception_apply(p, h, features_only=True).astype(jnp.float32)
+                        )
+                        h = (h.astype(jnp.float32) * (1.0 + s * 1e-38)).astype(xin.dtype)
+                        return h, acc + s
+
+                    _, acc = jax.lax.fori_loop(0, K, body, (h, jnp.float32(0.0)))
+                    return acc
+
+                return lambda i: chain(qtree, x, jnp.int32(i))
+
+            def qtimed(fn, iters=6):
+                float(fn(999_999))
+                best = float("inf")
+                for i in range(iters):
+                    t0 = time.perf_counter()
+                    float(fn(i))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            qdev = (qtimed(make_qchain(6)) - qtimed(make_qchain(2))) / 4
+            record.update(
+                int8_device_ms_per_batch=round(qdev * 1e3, 2),
+                int8_frames_per_sec_device=round(args.batch / qdev, 1),
+            )
+        except Exception as e:  # never lose the headline to the quant extra
+            print(f"[bench] quant measurement failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     if args.train and platform != "cpu":
         # Training throughput: full Xception train step (fwd + bwd + Adam,

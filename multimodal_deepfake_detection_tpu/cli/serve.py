@@ -51,6 +51,12 @@ class Config:
     mask_padding: bool = True
     use_mesh: bool = False  # shard scoring batches over all visible devices
     threshold: float = 0.5  # label = score > threshold in the JSONL
+    # w8a8 int8 backbone(s) ("" = fp). All four engines: "w8a8" quantizes
+    # every backbone conv incl. depthwise (visual engine measured +5.8%
+    # throughput at feature cos 0.9999, PERF.md r3); visual also accepts
+    # "w8a8-hybrid" (bf16 Pallas middle flow, TPU only). Calibrates on the
+    # first scored batch.
+    quantize: str = ""
 
 
 def _list_inputs(folder: str, exts) -> List[str]:
@@ -112,7 +118,7 @@ def _build_engine(cfg: Config, mesh):
     from ..models import serve as S
 
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    common = dict(compute_dtype=cdtype, mesh=mesh)
+    common = dict(compute_dtype=cdtype, mesh=mesh, quantize=cfg.quantize or None)
     if cfg.engine == "visual":
         return S.VisualScorer.from_bundle(
             cfg.ckpt_path, hidden_dim=cfg.hidden_dim,

@@ -108,6 +108,8 @@ def au_face_detector_apply(
     au_valid=None,
     train: bool = False,
     compute_dtype=None,
+    face_backbone_fn=None,
+    au_backbone_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Returns (logits (B, 1), v_tokens (B, T, 512), au_tokens (B, Ta, 512), new_state).
 
@@ -123,18 +125,26 @@ def au_face_detector_apply(
     new_state = {}
 
     # --- face stream: one flattened backbone batch over (B*T) frames ---
+    # (``*_backbone_fn`` overrides swap in the w8a8 quantized ResNet-18 for
+    # serving, models/quant.py)
     frames = videos.reshape((B * T,) + videos.shape[2:])
-    f_feats, new_state["face_backbone"] = resnet18_apply(
-        params["face_backbone"], state["face_backbone"], frames, train=train, compute_dtype=compute_dtype
-    )
+    if face_backbone_fn is not None:
+        f_feats, new_state["face_backbone"] = face_backbone_fn(frames), state["face_backbone"]
+    else:
+        f_feats, new_state["face_backbone"] = resnet18_apply(
+            params["face_backbone"], state["face_backbone"], frames, train=train, compute_dtype=compute_dtype
+        )
     f_tokens = linear(params["face_proj"], f_feats, compute_dtype=compute_dtype).reshape(B, T, -1)
     v_tokens = bilstm_apply(params["face_lstm"], f_tokens, compute_dtype=compute_dtype, valid_T=v_valid)
 
     # --- AU stream: (B*Ta*A) patch batch, attention pool over AUs per frame ---
     patches = au_patches.reshape((B * Ta * A,) + au_patches.shape[3:])
-    a_feats, new_state["au_backbone"] = resnet18_apply(
-        params["au_backbone"], state["au_backbone"], patches, train=train, compute_dtype=compute_dtype
-    )
+    if au_backbone_fn is not None:
+        a_feats, new_state["au_backbone"] = au_backbone_fn(patches), state["au_backbone"]
+    else:
+        a_feats, new_state["au_backbone"] = resnet18_apply(
+            params["au_backbone"], state["au_backbone"], patches, train=train, compute_dtype=compute_dtype
+        )
     a_feats = linear(params["au_proj"], a_feats, compute_dtype=compute_dtype).reshape(B, Ta, A, -1)
     scores = linear(params["au_attn"], a_feats, compute_dtype=compute_dtype).astype(jnp.float32)
     if au_mask is not None:

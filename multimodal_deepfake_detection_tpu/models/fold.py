@@ -61,6 +61,50 @@ def fold_xception_bn(params, state):
     return out
 
 
+def fold_resnet18_bn(params, state):
+    """Fold the AU-stream ResNet-18 (models/resnet.py) into a BN-free tree.
+
+    Same affine-fold identity as :func:`fold_xception_bn`; used by the
+    quantized AU serving path (models/quant.py). Exactness pinned in
+    tests/test_fold.py.
+    """
+    out = {"conv1": _fold(params["conv1"], params["bn1"], state["bn1"]), "stages": []}
+    for stage_p, stage_s in zip(params["stages"], state["stages"]):
+        stage = []
+        for bp, bs in zip(stage_p, stage_s):
+            fb = {
+                "conv1": _fold(bp["conv1"], bp["bn1"], bs["bn1"]),
+                "conv2": _fold(bp["conv2"], bp["bn2"], bs["bn2"]),
+            }
+            if "downsample" in bp:
+                fb["downsample"] = _fold(
+                    bp["downsample"]["conv"], bp["downsample"]["bn"], bs["downsample"]["bn"]
+                )
+            stage.append(fb)
+        out["stages"].append(stage)
+    return out
+
+
+def folded_resnet18_apply(params, x, *, compute_dtype=None):
+    """BN-free ResNet-18 forward; mirrors models.resnet.resnet18_apply eval."""
+    from .resnet import RESNET18_STAGES
+
+    h = jax.nn.relu(conv2d(params["conv1"], x, stride=2, padding=3, compute_dtype=compute_dtype))
+    h = max_pool2d(h, 3, 2, 1)
+    for (_out_ch, stride), stage in zip(RESNET18_STAGES, params["stages"]):
+        for b, bp in enumerate(stage):
+            s = stride if b == 0 else 1
+            r = jax.nn.relu(conv2d(bp["conv1"], h, stride=s, padding=1, compute_dtype=compute_dtype))
+            r = conv2d(bp["conv2"], r, stride=1, padding=1, compute_dtype=compute_dtype)
+            idn = (
+                conv2d(bp["downsample"], h, stride=s, padding=0, compute_dtype=compute_dtype)
+                if "downsample" in bp
+                else h
+            )
+            h = jax.nn.relu(r + idn)
+    return global_avg_pool(h)
+
+
 def _sep_apply(p, x, compute_dtype):
     c = x.shape[-1]
     x = conv2d({"w": p["depthwise"]["w"]}, x, stride=1, padding=1, groups=c, compute_dtype=compute_dtype)

@@ -1,0 +1,352 @@
+"""w8a8 post-training-quantized Xception serving forward.
+
+An opt-in quantized serving mode on top of the BN-folded inference tree
+(models/fold.py): every MXU-bound convolution (stem convs, block skips, all
+pointwise 1x1s) runs as an int8xint8->int32 conv with per-output-channel
+weight scales and a static per-tensor activation scale calibrated offline;
+depthwise 3x3s (VPU-bound, ~3% of FLOPs) and the fc head stay floating.
+
+The reference framework has no quantization (pure fp torch scripts,
+/root/reference/Xception.py) — this is a capability beyond parity, so its
+contract is accuracy-vs-throughput, not bit-parity: calibration amaxes come
+from real data, and tests bound the quantized logit drift against the fp32
+folded forward (tests/test_quant.py).
+
+One structural walker serves three modes so the calibration pass, the fp
+reference pass, and the quantized pass can never drift apart:
+
+* ``observe=True``  — fp forward that also returns per-site input amaxes
+  (jit-able; reduce over a calibration batch).
+* ``quant=False``   — plain fp folded forward (equals
+  ``fold.folded_xception_apply(use_pallas=False)``; pinned by test).
+* ``quant=True``    — the w8a8 forward over a tree built by
+  ``quantize_folded_xception``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv2d, global_avg_pool, linear, max_pool2d
+from ..ops.quant import conv2d_w8a8, depthwise_conv2d_w8a8, quantize_weight
+from .xception import XCEPTION_BLOCK_SPECS
+
+# Walk-order site keys of every quantized convolution (13 blocks: 12 spec
+# blocks + the exit sepconvs), used by calibration and tree building alike.
+
+
+def _sites(params, *, depthwise: bool = False):
+    yield "conv1"
+    yield "conv2"
+    for k, bp in enumerate(params["blocks"]):
+        for i in range(len(bp["units"])):
+            if depthwise:
+                yield f"blocks/{k}/units/{i}/depthwise"
+            yield f"blocks/{k}/units/{i}/pointwise"
+        if "skip" in bp:
+            yield f"blocks/{k}/skip"
+    for site in ("conv3", "conv4"):
+        if depthwise:
+            yield f"{site}/depthwise"
+        yield f"{site}/pointwise"
+
+
+def xception_quant_walk(
+    params,
+    x,
+    *,
+    quant: bool = False,
+    observe: bool = False,
+    compute_dtype=jnp.bfloat16,
+    features_only: bool = False,
+    middle_pallas: bool = False,
+    upto: str = None,
+):
+    """Shared structural forward (see module docstring for the three modes).
+
+    ``upto`` ("stem", "block<k>", "exit") early-returns that stage's output —
+    the same truncated-prefix contract as fold.folded_xception_apply, so
+    tools/netbench.py can attribute per-stage device time on the quantized
+    path too.
+
+    ``middle_pallas=True`` routes middle-flow blocks whose sepconv units are
+    *unquantized* (fp nodes in the tree — build with
+    ``quantize_folded_xception(..., skip_middle=True)``) through the
+    position-major fused Pallas kernel, giving the hybrid serving config:
+    int8 entry/exit (bandwidth-bound, halved bytes) + bf16 VMEM-resident
+    Pallas middle flow.
+    """
+    obs = {} if observe else None
+    if middle_pallas:
+        from ..ops.pallas.sepconv_block import is_middle_block, pack_middle_block
+        from ..ops.pallas.sepconv_pos import (
+            from_pos_layout,
+            middle_block_pos_pallas,
+            to_pos_layout,
+        )
+    pos_hw = None
+
+    def reg(site, p, h, stride, padding):
+        if obs is not None:
+            obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+        if quant and "w_q" in p:  # mixed trees carry fp nodes (skip_middle)
+            return conv2d_w8a8(p, h, stride=stride, padding=padding, out_dtype=compute_dtype)
+        return conv2d(p, h, stride=stride, padding=padding, compute_dtype=compute_dtype)
+
+    def sep(site, p, h):
+        if obs is not None:
+            obs[f"{site}/depthwise"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+        if quant and "w_q" in p["depthwise"]:
+            h = depthwise_conv2d_w8a8(p["depthwise"], h, padding=1, out_dtype=compute_dtype)
+        else:
+            c = h.shape[-1]
+            h = conv2d(
+                {"w": p["depthwise"]["w"]}, h, stride=1, padding=1, groups=c,
+                compute_dtype=compute_dtype,
+            )
+        return reg(f"{site}/pointwise", p["pointwise"], h, 1, 0)
+
+    h = jax.nn.relu(reg("conv1", params["conv1"], x, 2, 0))
+    h = jax.nn.relu(reg("conv2", params["conv2"], h, 1, 0))
+    if upto == "stem":
+        return h
+    for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
+        _in, _out, _reps, stride, start_with_relu, _grow = spec
+        is_pos_middle = (
+            middle_pallas
+            and stride == 1
+            and start_with_relu
+            and "w" in bp["units"][0]["pointwise"]  # fp node (not quantized)
+            and is_middle_block(bp)
+        )
+        if pos_hw is not None and not is_pos_middle:  # leaving the pos run
+            h = from_pos_layout(h, *pos_hw)
+            pos_hw = None
+        if is_pos_middle:
+            dw, pw, bb = pack_middle_block(bp)
+            if pos_hw is None:
+                pos_hw = (h.shape[1], h.shape[2])
+                h = to_pos_layout(h)
+            h = middle_block_pos_pallas(h, dw, pw, bb)
+            if upto == f"block{k + 1}":
+                return from_pos_layout(h, *pos_hw)
+            continue
+        inp = h
+        for i, unit in enumerate(bp["units"]):
+            if i > 0 or start_with_relu:
+                h = jax.nn.relu(h)
+            h = sep(f"blocks/{k}/units/{i}", unit, h)
+        if stride != 1:
+            h = max_pool2d(h, 3, stride, 1)
+        skip = reg(f"blocks/{k}/skip", bp["skip"], inp, stride, 0) if "skip" in bp else inp
+        h = h + skip
+        if upto == f"block{k + 1}":
+            return h
+    if pos_hw is not None:
+        h = from_pos_layout(h, *pos_hw)
+    h = jax.nn.relu(sep("conv3", params["conv3"], h))
+    h = jax.nn.relu(sep("conv4", params["conv4"], h))
+    if upto == "exit":
+        return h
+    feats = global_avg_pool(h)
+    if features_only or "fc" not in params:
+        out = feats
+    else:
+        out = linear(params["fc"], feats, compute_dtype=compute_dtype)
+    return (out, obs) if observe else out
+
+
+def calibrate_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
+    """Per-site input amaxes of the fp folded forward over a calibration batch.
+
+    ``calib_x`` is one representative (B, H, W, 3) batch (serving-normalized,
+    i.e. /255). Returns {site: float amax} in walk order.
+    """
+    fn = jax.jit(
+        partial(
+            xception_quant_walk, observe=True, quant=False,
+            compute_dtype=compute_dtype, features_only=True,
+        )
+    )
+    _, obs = fn(folded_params, calib_x)
+    return {k: float(v) for k, v in obs.items()}
+
+
+def quantize_folded_xception(
+    folded_params, amaxes: dict, *, headroom: float = 1.0, quant_depthwise: bool = False,
+    skip_middle: bool = False,
+):
+    """Build the w8a8 tree from a BN-folded fp tree + calibrated amaxes.
+
+    ``headroom`` scales every activation amax (>1 guards against clip on
+    inputs hotter than the calibration batch, at the cost of resolution).
+    Quantized conv nodes become {"w_q" int8, "s_w" fp32[O], "s_in" fp32,
+    "b" fp32}; fc stays fp. ``quant_depthwise`` also quantizes the
+    depthwise 3x3s so the activation chain through each sepconv unit stays
+    int8 end-to-end (halves the HBM traffic of the bandwidth-bound entry
+    blocks); off, they stay fp. ``skip_middle`` leaves the middle-flow
+    blocks (stride-1, start-with-relu) entirely fp so the walker's
+    ``middle_pallas`` mode can route them through the fused pos kernel.
+    """
+
+    missing = [s for s in _sites(folded_params, depthwise=quant_depthwise) if s not in amaxes]
+    if missing:
+        raise ValueError(f"calibration amaxes missing sites: {missing}")
+
+    middle_idx = {
+        k for k, spec in enumerate(XCEPTION_BLOCK_SPECS) if spec[3] == 1 and spec[4]
+    } if skip_middle else set()
+
+    def qconv(conv, site):
+        w_q, s_w = quantize_weight(conv["w"])
+        q = {
+            "w_q": w_q,
+            "s_w": s_w,
+            "s_in": jnp.float32(max(amaxes[site], 1e-12) * headroom / 127.0),
+        }
+        if "b" in conv:
+            q["b"] = conv["b"].astype(jnp.float32)
+        return q
+
+    def qsep(sep, site):
+        if quant_depthwise:
+            dw = qconv(sep["depthwise"], f"{site}/depthwise")
+        else:
+            dw = {"w": sep["depthwise"]["w"]}
+        return {
+            "depthwise": dw,
+            "pointwise": qconv(sep["pointwise"], f"{site}/pointwise"),
+        }
+
+    out = {
+        "conv1": qconv(folded_params["conv1"], "conv1"),
+        "conv2": qconv(folded_params["conv2"], "conv2"),
+        "blocks": [],
+        "conv3": qsep(folded_params["conv3"], "conv3"),
+        "conv4": qsep(folded_params["conv4"], "conv4"),
+    }
+    for k, bp in enumerate(folded_params["blocks"]):
+        if k in middle_idx:
+            out["blocks"].append(bp)  # fp node, pallas-routable
+            continue
+        fb = {
+            "units": [qsep(u, f"blocks/{k}/units/{i}") for i, u in enumerate(bp["units"])]
+        }
+        if "skip" in bp:
+            fb["skip"] = qconv(bp["skip"], f"blocks/{k}/skip")
+        out["blocks"].append(fb)
+    if "fc" in folded_params:
+        out["fc"] = folded_params["fc"]
+    return out
+
+
+def quantize_xception(
+    params, state, calib_x, *, compute_dtype=jnp.bfloat16, headroom: float = 1.0,
+    quant_depthwise: bool = False,
+):
+    """fold -> calibrate -> quantize in one call; returns the w8a8 tree."""
+    from .fold import fold_xception_bn
+
+    folded = fold_xception_bn(params, state)
+    amaxes = calibrate_amax(folded, calib_x, compute_dtype=compute_dtype)
+    return quantize_folded_xception(
+        folded, amaxes, headroom=headroom, quant_depthwise=quant_depthwise
+    )
+
+
+def quantized_xception_apply(qparams, x, *, compute_dtype=jnp.bfloat16, features_only: bool = False):
+    """The w8a8 serving forward (jit this)."""
+    return xception_quant_walk(
+        qparams, x, quant=True, compute_dtype=compute_dtype, features_only=features_only
+    )
+
+
+# ---------------------------------------------------------------------------
+# ResNet-18 (the AU-stream backbone, models/resnet.py) — same scheme
+# ---------------------------------------------------------------------------
+
+
+def resnet18_quant_walk(
+    params, x, *, quant: bool = False, observe: bool = False, compute_dtype=jnp.bfloat16
+):
+    """Shared structural forward over a folded (fold.fold_resnet18_bn) or
+    quantized ResNet-18 tree; fp mode equals fold.folded_resnet18_apply
+    (pinned in tests/test_quant.py). Every conv is a regular MXU conv, so all
+    are quantized — the activation chain stays int8 end-to-end between the
+    relu/pool/residual seams."""
+    from .resnet import RESNET18_STAGES
+
+    obs = {} if observe else None
+
+    def reg(site, p, h, stride, padding):
+        if obs is not None:
+            obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+        if quant and "w_q" in p:
+            return conv2d_w8a8(p, h, stride=stride, padding=padding, out_dtype=compute_dtype)
+        return conv2d(p, h, stride=stride, padding=padding, compute_dtype=compute_dtype)
+
+    h = jax.nn.relu(reg("conv1", params["conv1"], x, 2, 3))
+    h = max_pool2d(h, 3, 2, 1)
+    for i, ((_out_ch, stride), stage) in enumerate(zip(RESNET18_STAGES, params["stages"])):
+        for b, bp in enumerate(stage):
+            s = stride if b == 0 else 1
+            r = jax.nn.relu(reg(f"stages/{i}/{b}/conv1", bp["conv1"], h, s, 1))
+            r = reg(f"stages/{i}/{b}/conv2", bp["conv2"], r, 1, 1)
+            idn = (
+                reg(f"stages/{i}/{b}/downsample", bp["downsample"], h, s, 0)
+                if "downsample" in bp
+                else h
+            )
+            h = jax.nn.relu(r + idn)
+    out = global_avg_pool(h)
+    return (out, obs) if observe else out
+
+
+def calibrate_resnet18_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
+    fn = jax.jit(
+        partial(resnet18_quant_walk, observe=True, quant=False, compute_dtype=compute_dtype)
+    )
+    _, obs = fn(folded_params, calib_x)
+    return {k: float(v) for k, v in obs.items()}
+
+
+def quantize_folded_resnet18(folded_params, amaxes: dict, *, headroom: float = 1.0):
+    """Build the w8a8 ResNet-18 tree from a BN-folded fp tree + amaxes."""
+
+    def qconv(conv, site):
+        if site not in amaxes:
+            raise ValueError(f"calibration amaxes missing site: {site}")
+        w_q, s_w = quantize_weight(conv["w"])
+        q = {
+            "w_q": w_q,
+            "s_w": s_w,
+            "s_in": jnp.float32(max(amaxes[site], 1e-12) * headroom / 127.0),
+        }
+        if "b" in conv:
+            q["b"] = conv["b"].astype(jnp.float32)
+        return q
+
+    out = {"conv1": qconv(folded_params["conv1"], "conv1"), "stages": []}
+    for i, stage in enumerate(folded_params["stages"]):
+        qstage = []
+        for b, bp in enumerate(stage):
+            fb = {
+                "conv1": qconv(bp["conv1"], f"stages/{i}/{b}/conv1"),
+                "conv2": qconv(bp["conv2"], f"stages/{i}/{b}/conv2"),
+            }
+            if "downsample" in bp:
+                fb["downsample"] = qconv(bp["downsample"], f"stages/{i}/{b}/downsample")
+            qstage.append(fb)
+        out["stages"].append(qstage)
+    return out
+
+
+def quantize_resnet18(params, state, calib_x, *, compute_dtype=jnp.bfloat16, headroom: float = 1.0):
+    """fold -> calibrate -> quantize for the AU-stream ResNet-18."""
+    from .fold import fold_resnet18_bn
+
+    folded = fold_resnet18_bn(params, state)
+    amaxes = calibrate_resnet18_amax(folded, calib_x, compute_dtype=compute_dtype)
+    return quantize_folded_resnet18(folded, amaxes, headroom=headroom)

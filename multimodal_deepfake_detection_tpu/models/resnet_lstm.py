@@ -51,8 +51,13 @@ def au_patch_classifier_apply(
     train: bool = False,
     compute_dtype=None,
     return_pooled: bool = False,
+    backbone_fn=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """patches (B, T, A, H, W, 3), weights (B, T, A) -> logits (B, 1).
+
+    ``backbone_fn`` (flat (N, H, W, 3) -> (N, 512)) overrides the stock
+    eval-mode ResNet-18 — the w8a8 quantized serving path
+    (models/quant.py::resnet18_quant_walk) plugs in here.
 
     With ``lengths``, ``mask_padding=True`` (quality mode) masks each sample's
     temporal mean-pool at its own length AND gates the biLSTM state per sample,
@@ -68,9 +73,12 @@ def au_patch_classifier_apply(
     """
     B, T, A = patches.shape[:3]
     flat = patches.reshape((B * T * A,) + patches.shape[3:])
-    feats, new_bstate = resnet18_apply(
-        params["backbone"], state["backbone"], flat, train=train, compute_dtype=compute_dtype
-    )
+    if backbone_fn is not None:
+        feats, new_bstate = backbone_fn(flat), state["backbone"]
+    else:
+        feats, new_bstate = resnet18_apply(
+            params["backbone"], state["backbone"], flat, train=train, compute_dtype=compute_dtype
+        )
     feats = linear(params["au_fc"], feats, compute_dtype=compute_dtype)
     feats = feats.reshape(B, T, A, -1)
 

@@ -1,0 +1,253 @@
+"""w8a8 quantized serving path: primitive exactness + bounded logit drift.
+
+The reference has no quantization (pure fp torch); this is a
+beyond-parity serving capability, so the contract here is (a) the int8
+conv primitive computes exactly the dequantized integer math, (b) the
+shared structural walker's fp mode is bit-identical to the shipped folded
+forward (so calibration can never drift from serving), and (c) end-to-end
+quantized features stay close to the fp32 folded features.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_deepfake_detection_tpu.models.fold import fold_xception_bn, folded_xception_apply
+from multimodal_deepfake_detection_tpu.models.quant import (
+    calibrate_amax,
+    quantize_folded_xception,
+    quantize_xception,
+    quantized_xception_apply,
+    xception_quant_walk,
+)
+from multimodal_deepfake_detection_tpu.models.xception import xception_init
+from multimodal_deepfake_detection_tpu.ops.quant import (
+    absmax_scale,
+    conv2d_w8a8,
+    quantize,
+    quantize_weight,
+)
+
+
+def _folded(seed=0, num_classes=2):
+    rng = jax.random.PRNGKey(seed)
+    params, state = xception_init(rng, num_classes=num_classes)
+    ks = jax.random.split(rng, 2)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.abs(x + 0.3 * jax.random.normal(ks[0], x.shape)) + 0.05 if x.ndim else x,
+        state,
+    )
+    return fold_xception_bn(params, state)
+
+
+def test_quantize_roundtrip_exact_ints():
+    # values that are exact multiples of the scale reconstruct exactly
+    s = 0.5
+    x = jnp.asarray([-63.5, -1.0, 0.0, 2.5, 63.5])
+    q = quantize(x, s)
+    np.testing.assert_array_equal(np.asarray(q), [-127, -2, 0, 5, 127])
+
+
+def test_weight_quant_per_channel():
+    rng = jax.random.PRNGKey(3)
+    w = jax.random.normal(rng, (3, 3, 8, 16)) * jnp.arange(1, 17)  # per-O magnitudes
+    w_q, s_w = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and s_w.shape == (16,)
+    recon = w_q.astype(jnp.float32) * s_w
+    # per-channel error bounded by half an LSB of that channel's scale
+    err = jnp.max(jnp.abs(recon - w), axis=(0, 1, 2))
+    assert np.all(np.asarray(err) <= 0.5 * np.asarray(s_w) + 1e-6)
+
+
+def test_conv2d_w8a8_matches_integer_math():
+    rng = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (2, 9, 9, 8))
+    w = jax.random.normal(k2, (3, 3, 8, 16)) * 0.2
+    b = jax.random.normal(k3, (16,))
+    w_q, s_w = quantize_weight(w)
+    s_in = absmax_scale(x)
+    qp = {"w_q": w_q, "s_w": s_w, "s_in": s_in, "b": b}
+    out = conv2d_w8a8(qp, x, stride=1, padding=1, out_dtype=jnp.float32)
+
+    # independent integer reference in numpy (int64 accumulate)
+    xq = np.asarray(quantize(x, s_in), np.int64)
+    wq = np.asarray(w_q, np.int64)
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((2, 9, 9, 16), np.int64)
+    for ky in range(3):
+        for kx in range(3):
+            ref += np.einsum("bhwi,io->bhwo", xp[:, ky : ky + 9, kx : kx + 9, :], wq[ky, kx])
+    ref_f = ref.astype(np.float64) * (float(s_in) * np.asarray(s_w, np.float64)) + np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref_f, rtol=1e-5, atol=1e-5)
+
+
+def test_walker_fp_mode_matches_folded_forward():
+    folded = _folded(0)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    ref = folded_xception_apply(folded, x, compute_dtype=jnp.bfloat16)
+    out = xception_quant_walk(folded, x, quant=False, compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_calibration_covers_all_sites_and_build_validates():
+    folded = _folded(1)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 64, 3))
+    amaxes = calibrate_amax(folded, x)
+    # stem + 12 blocks' sepconv units (dw+pw amaxes each) + 4 skips +
+    # 2 exit sepconvs (dw+pw each)
+    n_units = sum(len(bp["units"]) for bp in folded["blocks"])
+    n_skip = sum(1 for bp in folded["blocks"] if "skip" in bp)
+    assert len(amaxes) == 2 + 2 * n_units + n_skip + 2 * 2
+    # a random net can have dead-ReLU sites (amax 0 — the scale floor in
+    # quantize_folded_xception guards those); the live stem must be nonzero
+    assert all(v >= 0 for v in amaxes.values())
+    assert amaxes["conv1"] > 0 and amaxes["conv2"] > 0
+    missing = dict(amaxes)
+    missing.pop("blocks/3/units/0/pointwise")
+    try:
+        quantize_folded_xception(folded, missing)
+        raise AssertionError("expected ValueError for missing site")
+    except ValueError as e:
+        assert "blocks/3/units/0/pointwise" in str(e)
+
+
+def test_quantized_features_close_to_fp():
+    rng = jax.random.PRNGKey(7)
+    params, state = xception_init(rng, num_classes=None)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (2, 64, 64, 3))
+    qtree = quantize_xception(params, state, x)
+    fp = np.asarray(
+        folded_xception_apply(fold_xception_bn(params, state), x, compute_dtype=jnp.bfloat16),
+        np.float32,
+    )
+    q = np.asarray(quantized_xception_apply(qtree, x), np.float32)
+    assert q.shape == fp.shape == (2, 2048)
+    # cosine similarity of the pooled features: int8 noise must not wash
+    # out the representation
+    cos = (q * fp).sum() / (np.linalg.norm(q) * np.linalg.norm(fp) + 1e-9)
+    assert cos > 0.99, cos
+    rel = np.abs(q - fp).mean() / (np.abs(fp).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_visual_scorer_w8a8_close_to_fp():
+    """Serving opt-in: quantized VisualScorer tracks the fp scorer's probs."""
+    from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
+
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(0), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(1), 8, 2)
+    frames = np.random.default_rng(0).integers(0, 255, (2, 3, 64, 64, 3), np.uint8)
+    lengths = np.array([3, 2], np.int32)
+
+    fp = VisualScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    q = VisualScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
+    )
+    q.calibrate(frames)
+    assert q._qbackbone is not None and "w_q" in q._qbackbone["conv1"]
+    got_fp = fp.score(frames, lengths)
+    got_q = q.score(frames, lengths)
+    # probabilities agree within int8 calibration tolerance
+    np.testing.assert_allclose(got_q, got_fp, atol=0.1)
+
+    # implicit first-batch calibration path
+    q2 = VisualScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
+    )
+    got_q2 = q2.score(frames, lengths)
+    np.testing.assert_allclose(got_q2, got_q, atol=1e-6)
+
+
+def test_audio_scorer_w8a8_close_to_fp():
+    from multimodal_deepfake_detection_tpu.models.heads import xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import AudioScorer
+
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(2), 8)
+    waves = np.asarray(
+        np.sin(np.linspace(0, 700, 3200)).reshape(2, 1600), np.float32
+    ) + 0.1 * np.random.default_rng(0).standard_normal((2, 1600)).astype(np.float32)
+
+    fp = AudioScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    q = AudioScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
+    )
+    got_q = q.score(waves)  # implicit calibration
+    assert q._qbackbone is not None
+    np.testing.assert_allclose(got_q, fp.score(waves), atol=0.1)
+
+
+def test_au_patch_scorer_w8a8_close_to_fp():
+    from multimodal_deepfake_detection_tpu.models.resnet_lstm import au_patch_classifier_init
+    from multimodal_deepfake_detection_tpu.models.serve import AUPatchScorer
+
+    params, bn_state = au_patch_classifier_init(jax.random.PRNGKey(3), hidden_dim=8, lstm_hidden=8)
+    patches = np.random.default_rng(1).integers(0, 255, (1, 2, 2, 32, 32, 3), np.uint8)
+
+    fp = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32)
+    q = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32, quantize="w8a8")
+    got_q = q.score(patches)
+    assert q._qbackbone is not None
+    np.testing.assert_allclose(got_q, fp.score(patches), atol=0.1)
+
+
+def test_au_face_scorer_w8a8_close_to_fp():
+    from multimodal_deepfake_detection_tpu.models.au_face import au_face_detector_init
+    from multimodal_deepfake_detection_tpu.models.serve import AUFaceScorer
+
+    params, bn_state = au_face_detector_init(
+        jax.random.PRNGKey(4), num_aus=2, face_dim=8, au_dim=8, lstm_hidden=4
+    )
+    vids = np.random.default_rng(2).integers(0, 255, (1, 2, 32, 32, 3), np.uint8)
+    aus = np.random.default_rng(3).integers(0, 255, (1, 2, 2, 32, 32, 3), np.uint8)
+
+    fp = AUFaceScorer(params, bn_state, compute_dtype=jnp.float32)
+    q = AUFaceScorer(params, bn_state, compute_dtype=jnp.float32, quantize="w8a8")
+    got_q = q.score(vids, aus)
+    assert q._qbackbones is not None and set(q._qbackbones) == {"face", "au"}
+    np.testing.assert_allclose(got_q, fp.score(vids, aus), atol=0.1)
+
+
+def test_resnet18_quant_walker_and_features():
+    from multimodal_deepfake_detection_tpu.models.fold import (
+        fold_resnet18_bn,
+        folded_resnet18_apply,
+    )
+    from multimodal_deepfake_detection_tpu.models.quant import (
+        quantize_resnet18,
+        resnet18_quant_walk,
+    )
+    from multimodal_deepfake_detection_tpu.models.resnet import resnet18_init
+
+    params, state = resnet18_init(jax.random.PRNGKey(11))
+    x = jax.random.uniform(jax.random.PRNGKey(12), (2, 64, 64, 3))
+    folded = fold_resnet18_bn(params, state)
+    # fp walker mode is bit-identical to the folded forward
+    ref = folded_resnet18_apply(folded, x, compute_dtype=jnp.bfloat16)
+    out = resnet18_quant_walk(folded, x, quant=False, compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # w8a8 features stay close
+    qtree = quantize_resnet18(params, state, x)
+    assert qtree["stages"][1][0]["conv1"]["w_q"].dtype == jnp.int8
+    q = np.asarray(resnet18_quant_walk(qtree, x, quant=True), np.float32)
+    fp = np.asarray(ref, np.float32)
+    cos = (q * fp).sum() / (np.linalg.norm(q) * np.linalg.norm(fp) + 1e-9)
+    assert cos > 0.99, cos
+
+
+def test_quantized_depthwise_features_close_to_fp():
+    rng = jax.random.PRNGKey(9)
+    params, state = xception_init(rng, num_classes=None)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (2, 64, 64, 3))
+    qtree = quantize_xception(params, state, x, quant_depthwise=True)
+    # every sepconv unit must carry a quantized depthwise node
+    assert "w_q" in qtree["blocks"][4]["units"][0]["depthwise"]
+    assert qtree["blocks"][4]["units"][0]["depthwise"]["w_q"].dtype == jnp.int8
+    fp = np.asarray(
+        folded_xception_apply(fold_xception_bn(params, state), x, compute_dtype=jnp.bfloat16),
+        np.float32,
+    )
+    q = np.asarray(quantized_xception_apply(qtree, x), np.float32)
+    cos = (q * fp).sum() / (np.linalg.norm(q) * np.linalg.norm(fp) + 1e-9)
+    assert cos > 0.985, cos

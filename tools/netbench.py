@@ -32,6 +32,11 @@ def main():
     p.add_argument("--fuse", default="", help="MDFD_ENTRY_FUSE_H value (entry blocks to fuse)")
     p.add_argument("--pallas", default=True, action=argparse.BooleanOptionalAction)
     p.add_argument("--upto", default="", help="comma list of prefix stages; default all")
+    p.add_argument(
+        "--quant", default="",
+        help="'w8a8' times the int8 walker (models/quant.py) instead of the fp net; "
+        "'w8a8-hybrid' keeps the Pallas pos middle flow bf16",
+    )
     args = p.parse_args()
 
     if args.fuse:
@@ -52,6 +57,19 @@ def main():
     x = jax.device_put(
         jnp.asarray(np.random.default_rng(0).random((args.batch, args.size, args.size, 3)), jnp.bfloat16)
     )
+    if args.quant:
+        from multimodal_deepfake_detection_tpu.models.quant import (
+            calibrate_amax,
+            quantize_folded_xception,
+        )
+
+        amaxes = calibrate_amax(folded, x[:32], compute_dtype=jnp.bfloat16)
+        folded = jax.device_put(
+            quantize_folded_xception(
+                folded, amaxes, quant_depthwise=True,
+                skip_middle=(args.quant == "w8a8-hybrid"),
+            )
+        )
 
     # prefix stages: stem, then each block, then exit convs
     n_blocks = len(folded["blocks"])
@@ -72,6 +90,7 @@ def main():
 
     def make_prefix(upto, K):
         from multimodal_deepfake_detection_tpu.models.fold import folded_xception_apply
+        from multimodal_deepfake_detection_tpu.models.quant import xception_quant_walk
 
         @jax.jit
         def fwd(p, xin, i):
@@ -79,9 +98,15 @@ def main():
 
             def body(t, carry):
                 h, acc = carry
-                out = folded_xception_apply(
-                    p, h, upto=upto, compute_dtype=jnp.bfloat16, use_pallas=args.pallas
-                )
+                if args.quant:
+                    out = xception_quant_walk(
+                        p, h, quant=True, compute_dtype=jnp.bfloat16, upto=upto,
+                        middle_pallas=(args.quant == "w8a8-hybrid"), features_only=True,
+                    )
+                else:
+                    out = folded_xception_apply(
+                        p, h, upto=upto, compute_dtype=jnp.bfloat16, use_pallas=args.pallas
+                    )
                 s = jnp.sum(out.astype(jnp.float32))
                 h = (h.astype(jnp.float32) * (1.0 + s * 1e-38)).astype(xin.dtype)
                 return h, acc + s
@@ -108,7 +133,7 @@ def main():
         results[s] = {"device_ms": round(ms, 2), "marginal_ms": marginal}
         print(f"{s:10s} device {ms:8.2f} ms  marginal {marginal if marginal is not None else '-'}", flush=True)
         prev = ms
-    print(json.dumps({"fuse": args.fuse, "batch": args.batch, "stages": results}))
+    print(json.dumps({"fuse": args.fuse, "quant": args.quant, "batch": args.batch, "stages": results}))
 
 
 if __name__ == "__main__":
