@@ -62,6 +62,7 @@ def xception_quant_walk(
     compute_dtype=jnp.bfloat16,
     features_only: bool = False,
     middle_pallas: bool = False,
+    pallas_interpret: bool = False,
     upto: str = None,
 ):
     """Shared structural forward (see module docstring for the three modes).
@@ -83,7 +84,10 @@ def xception_quant_walk(
         from ..ops.pallas.sepconv_block import is_middle_block, pack_middle_block
         from ..ops.pallas.sepconv_pos import (
             from_pos_layout,
+            is_middle_block_q,
             middle_block_pos_pallas,
+            middle_block_pos_pallas_w8,
+            pack_middle_block_q,
             to_pos_layout,
         )
     pos_hw = None
@@ -114,22 +118,39 @@ def xception_quant_walk(
         return h
     for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
         _in, _out, _reps, stride, start_with_relu, _grow = spec
-        is_pos_middle = (
+        pos_fp = (
             middle_pallas
             and stride == 1
             and start_with_relu
-            and "w" in bp["units"][0]["pointwise"]  # fp node (not quantized)
+            and "w" in bp["units"][0]["pointwise"]  # fp node (skip_middle tree)
             and is_middle_block(bp)
         )
-        if pos_hw is not None and not is_pos_middle:  # leaving the pos run
+        # fully quantized middle block: int8-pointwise pos kernel (MXU int8
+        # at 2x the bf16 rate; taps stay fp32 on the bf16 pad)
+        pos_q = (
+            middle_pallas
+            and quant
+            and not pos_fp
+            and stride == 1
+            and start_with_relu
+            and "w_q" in bp["units"][0]["pointwise"]
+            and is_middle_block_q(bp)
+        )
+        if pos_hw is not None and not (pos_fp or pos_q):  # leaving the pos run
             h = from_pos_layout(h, *pos_hw)
             pos_hw = None
-        if is_pos_middle:
-            dw, pw, bb = pack_middle_block(bp)
+        if pos_fp or pos_q:
             if pos_hw is None:
                 pos_hw = (h.shape[1], h.shape[2])
                 h = to_pos_layout(h)
-            h = middle_block_pos_pallas(h, dw, pw, bb)
+            if pos_fp:
+                dw, pw, bb = pack_middle_block(bp)
+                h = middle_block_pos_pallas(h, dw, pw, bb, interpret=pallas_interpret)
+            else:
+                dw, pw_q, s_w, s_in, bb = pack_middle_block_q(bp)
+                h = middle_block_pos_pallas_w8(
+                    h, dw, pw_q, s_w, s_in, bb, interpret=pallas_interpret
+                )
             if upto == f"block{k + 1}":
                 return from_pos_layout(h, *pos_hw)
             continue

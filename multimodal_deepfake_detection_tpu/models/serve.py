@@ -129,11 +129,13 @@ class VisualScorer(_ShardedScoringMixin):
         """``quantize``: opt-in w8a8 post-training quantization of the
         backbone (models/quant.py) — ``"w8a8"`` (every MXU conv + depthwise
         int8, pure XLA; measured 35.7 ms vs the fp default's 37.8 at B=256
-        on v5e, feature cos 0.9999) or ``"w8a8-hybrid"`` (int8 entry/exit +
-        the bf16 Pallas pos middle flow; TPU-only). Requires a calibration
-        batch: call :meth:`calibrate` first, else the first scored batch
-        calibrates implicitly. The fp path stays the default — quantization
-        changes scores within calibration tolerance, not bit-exactly.
+        on v5e, feature cos 0.9999), ``"w8a8-hybrid"`` (int8 entry/exit +
+        the bf16 Pallas pos middle flow), or ``"w8a8-pallas"`` (int8
+        entry/exit + the int8-pointwise Pallas pos middle kernel — the MXU
+        runs int8 at 2x the bf16 rate). Requires a calibration batch: call
+        :meth:`calibrate` first, else the first scored batch calibrates
+        implicitly. The fp path stays the default — quantization changes
+        scores within calibration tolerance, not bit-exactly.
         """
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
         self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
@@ -142,8 +144,10 @@ class VisualScorer(_ShardedScoringMixin):
         self.mask_padding = mask_padding
         self.compute_dtype = compute_dtype
         self.use_pallas = _use_pallas_default() if use_pallas is None else use_pallas
-        if quantize not in (None, "w8a8", "w8a8-hybrid"):
-            raise ValueError(f"quantize must be None, 'w8a8' or 'w8a8-hybrid', got {quantize!r}")
+        if quantize not in (None, "w8a8", "w8a8-hybrid", "w8a8-pallas"):
+            raise ValueError(
+                f"quantize must be None, 'w8a8', 'w8a8-hybrid' or 'w8a8-pallas', got {quantize!r}"
+            )
         self.quantize = quantize
         self._qbackbone = None
         # length buckets: pad T up to a bucket so the jit sees a small, fixed
@@ -185,9 +189,13 @@ class VisualScorer(_ShardedScoringMixin):
         if "w_q" in backbone["conv1"]:  # quantized tree (trace-time branch)
             from .quant import xception_quant_walk
 
+            mid_pallas = self.quantize in ("w8a8-hybrid", "w8a8-pallas")
             feats = xception_quant_walk(
                 backbone, x, quant=True, compute_dtype=self.compute_dtype,
-                features_only=True, middle_pallas=(self.quantize == "w8a8-hybrid"),
+                features_only=True, middle_pallas=mid_pallas,
+                # Mosaic is TPU-only; on CPU the pos kernels run interpreted
+                # so these modes stay testable everywhere
+                pallas_interpret=mid_pallas and not _use_pallas_default(),
             ).reshape(B, T, -1)
         else:
             feats = folded_xception_apply(

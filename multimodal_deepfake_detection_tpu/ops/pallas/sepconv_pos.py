@@ -127,6 +127,161 @@ def middle_block_pos_pallas(
     )(xp, dw.astype(jnp.float32), pw.astype(jnp.bfloat16), b.astype(jnp.float32))
 
 
+def _pos_q_kernel(
+    x_ref, dw_ref, pw_ref, sc_ref, b_ref, out_ref, pad_ref, *, H, W, C, reps, BT, NCH
+):
+    """_pos_kernel with the pointwise matmul in int8 on the MXU (2x rate).
+
+    ``dw_ref`` arrives pre-scaled by 1/s_in[r], so the fp32 tap accumulator is
+    already in quantized units — requantization before the matmul is just
+    round+clip+convert (3 VPU ops), and ``sc_ref[r] = s_in[r] * s_w[r]`` is
+    the fused per-channel dequant epilogue scale.
+    """
+    HW = H * W
+    O = W + 1
+    CH = HW // NCH
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pad_ref[:O] = jnp.zeros((O, BT, C), jnp.bfloat16)
+        pad_ref[O + HW :] = jnp.zeros((W + 1, BT, C), jnp.bfloat16)
+
+    for r in range(reps):
+        src = x_ref if r == 0 else out_ref
+        for c in range(NCH):
+            cs = c * CH
+            chunk = src[cs : cs + CH]
+            pad_ref[O + cs : O + cs + CH] = jnp.maximum(
+                chunk, jnp.zeros((), chunk.dtype)
+            ).astype(jnp.bfloat16)
+        for c in range(NCH):
+            cs = c * CH
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    start = cs + dy * W + dx
+                    tap = dw_ref[r, dy * 3 + dx, :].astype(jnp.float32)
+                    contrib = pad_ref[start : start + CH].astype(jnp.float32) * tap[None, None, :]
+                    if dx != 1:
+                        wpos = (jax.lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0) + cs) % W
+                        m = (wpos != 0) if dx == 0 else (wpos != W - 1)
+                        contrib = contrib * m.astype(jnp.float32)
+                    acc = contrib if acc is None else acc + contrib
+            qa = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
+            o = (
+                jnp.dot(
+                    qa.reshape(CH * BT, C),
+                    pw_ref[r],
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                * sc_ref[r][None, :]
+                + b_ref[r][None, :]
+            ).reshape(CH, BT, C)
+            if r + 1 == reps:
+                o = o + x_ref[cs : cs + CH].astype(jnp.float32)
+            out_ref[cs : cs + CH] = o.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "batch_tile", "pos_chunks"))
+def middle_block_pos_pallas_w8(
+    xp, dw, pw_q, s_w, s_in, b, *, interpret: bool = False, batch_tile: int = 8,
+    pos_chunks: int = 8,
+):
+    """int8-pointwise fused middle-flow block on position-major activations.
+
+    Same structure/contract as :func:`middle_block_pos_pallas`, but each
+    rep's 1x1 conv runs as an int8xint8->int32 MXU matmul (2x the bf16 rate
+    on v5e) with per-output-channel weight scales and a static calibrated
+    activation scale: the depthwise taps stay fp32 on the bf16 pad (more
+    precise than the XLA w8a8 path, which also quantizes the depthwise
+    input), the accumulator is pre-scaled into quantized units by folding
+    1/s_in into the tap weights, and the dequant epilogue fuses into the
+    matmul output.
+
+    Args:
+        xp: (H*W, B, C) bf16/f32 activations (position-major).
+        dw: (reps, 9, C) fp depthwise taps (dequantized if the tree stores
+            them int8).
+        pw_q: (reps, C, C) int8 pointwise weights.
+        s_w: (reps, C) fp32 per-output-channel weight scales.
+        s_in: (reps,) fp32 static activation scales at each pointwise input.
+        b: (reps, C) fp32 folded-BN biases.
+    """
+    HW, B, C = xp.shape
+    reps = dw.shape[0]
+    H = W = int(round(HW ** 0.5))
+    assert H * W == HW, "position-major kernel expects the square middle trunk"
+    BT = batch_tile
+    while B % BT:
+        BT //= 2
+    BT = max(BT, 1)
+    NCH = pos_chunks
+    while HW % NCH:
+        NCH //= 2
+    NCH = max(NCH, 1)
+    s_in = s_in.astype(jnp.float32).reshape(reps)
+    dw_scaled = dw.astype(jnp.float32) / s_in[:, None, None]
+    sc = s_in[:, None] * s_w.astype(jnp.float32)
+    kernel = partial(_pos_q_kernel, H=H, W=W, C=C, reps=reps, BT=BT, NCH=NCH)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        in_specs=[
+            pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
+            pl.BlockSpec((reps, 9, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((reps, C, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((reps, C), lambda i: (0, 0)),
+            pl.BlockSpec((reps, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((HW, B, C), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((HW + 2 * W + 2, BT, C), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dw_scaled, pw_q, sc, b.astype(jnp.float32))
+
+
+def pack_middle_block_q(qblock):
+    """One quantized (models/quant.py) middle-flow block ->
+    (dw (reps, 9, C) fp32, pw_q (reps, C, C) int8, s_w (reps, C),
+    s_in (reps,), b (reps, C)) for :func:`middle_block_pos_pallas_w8`.
+
+    Depthwise nodes may be fp ("w") or quantized ("w_q" — dequantized here:
+    the kernel's taps run fp32 either way)."""
+    dws, pws, sws, sins, bs = [], [], [], [], []
+    for u in qblock["units"]:
+        d = u["depthwise"]
+        w = d["w_q"].astype(jnp.float32) * d["s_w"] if "w_q" in d else d["w"].astype(jnp.float32)
+        dws.append(w[:, :, 0, :].reshape(9, w.shape[-1]))
+        p = u["pointwise"]
+        pws.append(p["w_q"][0, 0])
+        sws.append(p["s_w"].astype(jnp.float32))
+        sins.append(p["s_in"])
+        bs.append(p["b"].astype(jnp.float32))
+    return (
+        jnp.stack(dws),
+        jnp.stack(pws),
+        jnp.stack(sws),
+        jnp.stack([jnp.asarray(s, jnp.float32) for s in sins]),
+        jnp.stack(bs),
+    )
+
+
+def is_middle_block_q(qblock) -> bool:
+    """is_middle_block for quantized trees: stride-1, no projection, square
+    int8 pointwise weights."""
+    if "skip" in qblock:
+        return False
+    units = qblock["units"]
+    if any("w_q" not in u["pointwise"] for u in units):
+        return False
+    c = units[0]["pointwise"]["w_q"].shape[-1]
+    return all(
+        u["pointwise"]["w_q"].shape[2] == c and u["pointwise"]["w_q"].shape[3] == c
+        for u in units
+    )
+
+
 def to_pos_layout(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (H*W, B, C); one transpose for a run of middle blocks."""
     B, H, W, C = x.shape

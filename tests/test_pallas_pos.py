@@ -54,3 +54,70 @@ def test_pos_routing_in_folded_net(monkeypatch):
         folded, x, compute_dtype=jnp.float32, use_pallas=True, pallas_interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def _emulate_w8_block(x, dw, pw_q, s_w, s_in, b):
+    """numpy reference of middle_block_pos_pallas_w8: bf16 relu pad, fp32
+    taps, round/clip int8 requant, integer matmul, fused dequant + bias,
+    residual on the last rep, bf16 inter-rep storage."""
+    import numpy as onp
+
+    B, H, W, C = x.shape
+    reps = dw.shape[0]
+    h = onp.asarray(x, onp.float32)
+    x0 = onp.asarray(jnp.asarray(x, jnp.bfloat16), onp.float32)
+    for r in range(reps):
+        a = onp.asarray(jnp.asarray(onp.maximum(h, 0), jnp.bfloat16), onp.float32)
+        ap = onp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = onp.zeros((B, H, W, C), onp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc += ap[:, dy : dy + H, dx : dx + W, :] * dw[r, dy * 3 + dx][None, None, None, :]
+        qa = onp.clip(onp.round(acc / s_in[r]), -127, 127).astype(onp.int64)
+        o = qa @ onp.asarray(pw_q[r], onp.int64)
+        o = o.astype(onp.float32) * (s_in[r] * onp.asarray(s_w[r]))[None, None, None, :] + b[r]
+        if r + 1 == reps:
+            o = o + x0
+        h = onp.asarray(jnp.asarray(o, jnp.bfloat16), onp.float32)
+    return h
+
+
+def test_pos_w8_kernel_matches_integer_emulation():
+    from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_pos import (
+        middle_block_pos_pallas_w8,
+    )
+
+    rng = np.random.default_rng(2)
+    B, H, W, C = 2, 4, 4, 128
+    reps = 3
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.bfloat16)
+    dw = jnp.asarray(rng.normal(0, 0.2, (reps, 9, C)), jnp.float32)
+    pw = rng.normal(0, 0.08, (reps, C, C)).astype(np.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (reps, C)), jnp.float32)
+    # per-rep per-output-channel weight quantization + generous act scales
+    s_w = np.abs(pw).max(axis=1) / 127.0
+    pw_q = np.clip(np.round(pw / s_w[:, None, :]), -127, 127).astype(np.int8)
+    s_in = np.asarray([2.5 / 127.0] * reps, np.float32)
+
+    out = middle_block_pos_pallas_w8(
+        to_pos_layout(x),
+        dw,
+        jnp.asarray(pw_q),
+        jnp.asarray(s_w),
+        jnp.asarray(s_in),
+        b,
+        interpret=True,
+        batch_tile=2,
+        pos_chunks=4,
+    )
+    got = np.asarray(from_pos_layout(out, H, W), np.float32)
+    ref = _emulate_w8_block(
+        np.asarray(x, np.float32), np.asarray(dw), pw_q, s_w, s_in, np.asarray(b)
+    )
+    # fp32 tap order + the 1/s_in tap folding differ slightly from the
+    # emulation's divide-at-the-end; both are then rounded to int8, so any
+    # disagreement is a +/-1 LSB flip on values near .5 boundaries
+    lsb = (s_in[:, None] * s_w).max() * C  # worst case: every lane flips
+    np.testing.assert_allclose(got, ref, atol=float(lsb) * 0.05 + 0.05, rtol=0.02)
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9)
+    assert cos > 0.999, cos

@@ -251,3 +251,115 @@ def test_quantized_depthwise_features_close_to_fp():
     q = np.asarray(quantized_xception_apply(qtree, x), np.float32)
     cos = (q * fp).sum() / (np.linalg.norm(q) * np.linalg.norm(fp) + 1e-9)
     assert cos > 0.985, cos
+
+
+def test_hybrid_walker_matches_fp_middle_path():
+    """w8a8-hybrid trees (skip_middle): middle blocks stay fp nodes, and the
+    walker's middle_pallas routing (pos kernel, interpret on CPU) agrees with
+    the same tree's plain-XLA middle path within Pallas bf16 round-trip
+    tolerance."""
+    rng = jax.random.PRNGKey(13)
+    params, state = xception_init(rng, num_classes=None)
+    folded = fold_xception_bn(params, state)
+    x = jax.random.uniform(jax.random.PRNGKey(14), (2, 64, 64, 3))
+    amaxes = calibrate_amax(folded, x)
+    qtree = quantize_folded_xception(
+        folded, amaxes, quant_depthwise=True, skip_middle=True
+    )
+    # middle blocks (stride-1, start-with-relu) must be fp nodes; entry quantized
+    assert "w" in qtree["blocks"][4]["units"][0]["pointwise"]
+    assert "w_q" in qtree["blocks"][0]["units"][0]["pointwise"]
+
+    ref = np.asarray(
+        xception_quant_walk(qtree, x, quant=True, features_only=True), np.float32
+    )
+    got = np.asarray(
+        xception_quant_walk(
+            qtree, x, quant=True, features_only=True,
+            middle_pallas=True, pallas_interpret=True,
+        ),
+        np.float32,
+    )
+    assert got.shape == ref.shape == (2, 2048)
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
+    # and the hybrid features still track the fp folded forward
+    fp = np.asarray(
+        folded_xception_apply(folded, x, compute_dtype=jnp.bfloat16), np.float32
+    )
+    cos = (got * fp).sum() / (np.linalg.norm(got) * np.linalg.norm(fp) + 1e-9)
+    assert cos > 0.985, cos
+
+
+def test_visual_scorer_w8a8_hybrid_close_to_fp():
+    """Serving: quantize='w8a8-hybrid' (int8 entry/exit + Pallas pos middle,
+    interpreted on CPU) tracks the fp scorer's probabilities."""
+    from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
+
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(15), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(16), 8, 2)
+    frames = np.random.default_rng(4).integers(0, 255, (2, 2, 64, 64, 3), np.uint8)
+
+    fp = VisualScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    q = VisualScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False,
+        quantize="w8a8-hybrid",
+    )
+    got_q = q.score(frames)  # implicit calibration
+    assert q._qbackbone is not None
+    # the hybrid tree keeps middle blocks fp
+    assert "w" in q._qbackbone["blocks"][4]["units"][0]["pointwise"]
+    np.testing.assert_allclose(got_q, fp.score(frames), atol=0.1)
+
+
+def test_w8a8_pallas_walker_close_to_xla_int8():
+    """Full int8dw trees route middle blocks through the int8-pointwise pos
+    kernel under middle_pallas; outputs track the XLA int8 walker (which
+    additionally quantizes the depthwise input, so parity is tolerance-level,
+    not bit-exact) and the fp folded forward."""
+    rng = jax.random.PRNGKey(17)
+    params, state = xception_init(rng, num_classes=None)
+    folded = fold_xception_bn(params, state)
+    x = jax.random.uniform(jax.random.PRNGKey(18), (2, 64, 64, 3))
+    amaxes = calibrate_amax(folded, x)
+    qtree = quantize_folded_xception(folded, amaxes, quant_depthwise=True)
+
+    ref = np.asarray(
+        xception_quant_walk(qtree, x, quant=True, features_only=True), np.float32
+    )
+    got = np.asarray(
+        xception_quant_walk(
+            qtree, x, quant=True, features_only=True,
+            middle_pallas=True, pallas_interpret=True,
+        ),
+        np.float32,
+    )
+    assert got.shape == ref.shape == (2, 2048)
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9)
+    assert cos > 0.995, cos
+    fp = np.asarray(
+        folded_xception_apply(folded, x, compute_dtype=jnp.bfloat16), np.float32
+    )
+    cos_fp = (got * fp).sum() / (np.linalg.norm(got) * np.linalg.norm(fp) + 1e-9)
+    assert cos_fp > 0.985, cos_fp
+
+
+def test_visual_scorer_w8a8_pallas_close_to_fp():
+    """Serving: quantize='w8a8-pallas' (full int8 + int8-pointwise pos middle
+    kernel, interpreted on CPU) tracks the fp scorer's probabilities."""
+    from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
+
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(19), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(20), 8, 2)
+    frames = np.random.default_rng(5).integers(0, 255, (2, 2, 64, 64, 3), np.uint8)
+
+    fp = VisualScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    q = VisualScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False,
+        quantize="w8a8-pallas",
+    )
+    got_q = q.score(frames)  # implicit calibration
+    # the full tree stays quantized through the middle flow
+    assert "w_q" in q._qbackbone["blocks"][4]["units"][0]["pointwise"]
+    np.testing.assert_allclose(got_q, fp.score(frames), atol=0.1)

@@ -77,8 +77,16 @@ def main():
         "hybrid": lambda p, h: xception_quant_walk(
             p, h, quant=True, features_only=True, middle_pallas=True
         ),
+        # pallas: full int8dw tree, middle flow through the int8-pointwise
+        # pos kernel (MXU int8 at 2x the bf16 rate)
+        "pallas": lambda p, h: xception_quant_walk(
+            p, h, quant=True, features_only=True, middle_pallas=True
+        ),
     }
-    trees = {"fp": weights, "xla": weights, "int8": qtree, "int8dw": qtree_dw, "hybrid": qtree_hy}
+    trees = {
+        "fp": weights, "xla": weights, "int8": qtree, "int8dw": qtree_dw,
+        "hybrid": qtree_hy, "pallas": qtree_dw,
+    }
 
     def make_chain(net, tree, K):
         @jax.jit
@@ -118,7 +126,7 @@ def main():
         fp_feats = np.asarray(
             jax.jit(lambda p, h: nets["xla"](p, h))(weights, x[:32]), np.float32
         )
-        for name in ("int8", "int8dw", "hybrid"):
+        for name in ("int8", "int8dw", "hybrid", "pallas"):
             if name not in args.which:
                 continue
             q_feats = np.asarray(
