@@ -202,17 +202,19 @@ def main():
         )
 
     if args.quant and not args.no_fold_bn and platform != "cpu":
-        # Supplementary: the w8a8 quantized serving path (models/quant.py —
-        # int8 weights + static activation scales, int8 depthwise so the
-        # bandwidth-bound entry blocks move half the bytes). NOT the
-        # headline: quantized scores match fp only to calibration tolerance
-        # (feature cos ~0.9999 measured), so the exact-semantics fp number
-        # above remains `value`.
+        # Supplementary: the w8a8-pallas quantized serving path
+        # (models/quant.py — int8 weights + static activation scales, int8
+        # depthwise so the bandwidth-bound entry blocks move half the bytes,
+        # middle flow through the int8-pointwise pos Pallas kernel; best of
+        # the four quant configs measured in PERF.md r3: 30.9 ms vs int8dw
+        # XLA 35.8 / fp 36.8 at B=256). NOT the headline: quantized scores
+        # match fp only to calibration tolerance (feature cos ~0.9999
+        # measured), so the exact-semantics fp number above remains `value`.
         try:
             from multimodal_deepfake_detection_tpu.models.quant import (
                 calibrate_amax,
                 quantize_folded_xception,
-                quantized_xception_apply,
+                xception_quant_walk,
             )
 
             amaxes = calibrate_amax(folded, x[:32], compute_dtype=cdtype)
@@ -226,7 +228,10 @@ def main():
                     def body(_, carry):
                         h, acc = carry
                         s = jnp.sum(
-                            quantized_xception_apply(p, h, features_only=True).astype(jnp.float32)
+                            xception_quant_walk(
+                                p, h, quant=True, features_only=True,
+                                middle_pallas=use_pallas,
+                            ).astype(jnp.float32)
                         )
                         h = (h.astype(jnp.float32) * (1.0 + s * 1e-38)).astype(xin.dtype)
                         return h, acc + s
@@ -249,6 +254,7 @@ def main():
             record.update(
                 int8_device_ms_per_batch=round(qdev * 1e3, 2),
                 int8_frames_per_sec_device=round(args.batch / qdev, 1),
+                int8_mode="w8a8-pallas" if use_pallas else "w8a8",
             )
         except Exception as e:  # never lose the headline to the quant extra
             print(f"[bench] quant measurement failed: {type(e).__name__}: {e}", file=sys.stderr)

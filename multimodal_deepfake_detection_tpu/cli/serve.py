@@ -54,8 +54,9 @@ class Config:
     # w8a8 int8 backbone(s) ("" = fp). All four engines: "w8a8" quantizes
     # every backbone conv incl. depthwise (visual engine measured +5.8%
     # throughput at feature cos 0.9999, PERF.md r3); visual also accepts
-    # "w8a8-hybrid" (bf16 Pallas middle flow, TPU only). Calibrates on the
-    # first scored batch.
+    # "w8a8-hybrid" (bf16 Pallas pos middle flow) and "w8a8-pallas"
+    # (int8-pointwise Pallas pos middle kernel). Calibrates on the first
+    # scored batch.
     quantize: str = ""
 
 

@@ -128,11 +128,12 @@ class VisualScorer(_ShardedScoringMixin):
     ):
         """``quantize``: opt-in w8a8 post-training quantization of the
         backbone (models/quant.py) — ``"w8a8"`` (every MXU conv + depthwise
-        int8, pure XLA; measured 35.7 ms vs the fp default's 37.8 at B=256
-        on v5e, feature cos 0.9999), ``"w8a8-hybrid"`` (int8 entry/exit +
-        the bf16 Pallas pos middle flow), or ``"w8a8-pallas"`` (int8
-        entry/exit + the int8-pointwise Pallas pos middle kernel — the MXU
-        runs int8 at 2x the bf16 rate). Requires a calibration batch: call
+        int8, pure XLA; measured 35.8 ms vs the fp default's 36.8 at B=256
+        on v5e), ``"w8a8-hybrid"`` (int8 entry/exit + the bf16 Pallas pos
+        middle flow; 32.9 ms), or ``"w8a8-pallas"`` (int8 entry/exit + the
+        int8-pointwise Pallas pos middle kernel — the MXU runs int8 at 2x
+        the bf16 rate; 30.9 ms = 8,288 frames/s, all at feature cos 0.9999
+        — PERF.md r3). Requires a calibration batch: call
         :meth:`calibrate` first, else the first scored batch calibrates
         implicitly. The fp path stays the default — quantization changes
         scores within calibration tolerance, not bit-exactly.

@@ -101,7 +101,8 @@ def main():
                 if args.quant:
                     out = xception_quant_walk(
                         p, h, quant=True, compute_dtype=jnp.bfloat16, upto=upto,
-                        middle_pallas=(args.quant == "w8a8-hybrid"), features_only=True,
+                        middle_pallas=args.quant in ("w8a8-hybrid", "w8a8-pallas"),
+                        features_only=True,
                     )
                 else:
                     out = folded_xception_apply(

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--shapes", default="1x16,8x16,32x16,64x8")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument(
+        "--quantize", default="",
+        help="w8a8 | w8a8-hybrid | w8a8-pallas: serve the quantized backbone",
+    )
     args = p.parse_args()
 
     import os
@@ -43,7 +47,7 @@ def main():
     r1, r2 = jax.random.split(jax.random.PRNGKey(0))
     params, bn_state = xception_lstm_init(r1, 128)
     params["arcface"] = arcface_init(r2, 128, 2)
-    scorer = VisualScorer(params, bn_state)
+    scorer = VisualScorer(params, bn_state, quantize=args.quantize or None)
 
     rng = np.random.default_rng(0)
     results = {}
