@@ -1,0 +1,142 @@
+"""AOT serving export: serialized StableHLO scoring programs per engine.
+
+A deployment capability beyond the torch reference (which serves nothing —
+its eval scripts re-instantiate nn.Modules from source every run): each
+serving engine's jitted scoring program — weights captured as constants,
+preprocessing fused, optionally the w8a8-quantized backbone — is exported
+with ``jax.export`` to a self-contained portable artifact. The artifact
+replays with ``jax.export.deserialize(blob).call(...)`` on any host with
+jax installed — no model code, checkpoint files, or calibration data
+needed — and lowers for the platforms requested at export time (e.g.
+``["tpu"]`` from a CPU host).
+
+The batch dimension is symbolic by default (one program serves any B); the
+length axes (frames T, waveform samples, patch counts) stay static — export
+one artifact per serving bucket, mirroring the engines' own bucket-dispatch
+compilation strategy (serve.py). Host-side concerns stay host-side exactly
+as in the live engines: callers pad/bucket to the exported shape and slice
+the output, and mesh sharding is not baked in (shard outside, or export
+per-shard programs).
+
+CLI: ``python -m multimodal_deepfake_detection_tpu.cli.export_serving``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def _batch_dim(batch):
+    """An int stays static; a string becomes a symbolic dimension."""
+    if isinstance(batch, str):
+        return jexport.symbolic_shape(batch)[0]
+    return int(batch)
+
+
+def _export(fn, specs, platforms):
+    exp = jexport.export(jax.jit(fn), platforms=platforms)(*specs)
+    return bytes(exp.serialize())
+
+
+def export_visual(scorer, T: int, H: int, W: int, *, batch="b",
+                  platforms: Optional[Sequence[str]] = None) -> bytes:
+    """VisualScorer -> serialized program: (frames_u8 (B,T,H,W,3) uint8,
+    lengths (B,) int32) -> fake probabilities (B,) float32.
+
+    Captures the folded (or, after ``calibrate``, the quantized) backbone
+    and head weights as constants. ``batch``: symbolic dim name (default:
+    any B) or a static int.
+    """
+    backbone = scorer._qbackbone if scorer._qbackbone is not None else scorer.folded_backbone
+    head = scorer.head_params
+
+    def fn(frames_u8, lengths):
+        return scorer._score_impl(backbone, head, frames_u8, lengths)
+
+    B = _batch_dim(batch)
+    specs = (
+        jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
+    return _export(fn, specs, platforms)
+
+
+def export_audio(scorer, num_samples: int, *, batch="b",
+                 platforms: Optional[Sequence[str]] = None) -> bytes:
+    """AudioScorer -> serialized program: (waveforms (B, num_samples)
+    float32, frame_lengths (B,) int32) -> fake probabilities (B,).
+
+    Exports the librosa-centered MFCC path (the unbucketed ``score()``
+    semantics): waveforms arrive raw, framing/reflection happens on device.
+    ``frame_lengths`` gates the LSTM; pass ``1 + num_samples // hop_length``
+    for full-length clips.
+    """
+    backbone = scorer._qbackbone if scorer._qbackbone is not None else scorer.folded_backbone
+    head = scorer.head_params
+
+    def fn(waveforms, lengths):
+        return scorer._score_impl(backbone, head, waveforms, lengths, centered=True)
+
+    B = _batch_dim(batch)
+    specs = (
+        jax.ShapeDtypeStruct((B, int(num_samples)), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
+    return _export(fn, specs, platforms)
+
+
+def export_au_face(scorer, T: int, Ta: int, A: int, face_hw, patch_hw, *, batch="b",
+                   platforms: Optional[Sequence[str]] = None) -> bytes:
+    """AUFaceScorer -> serialized program: (videos_u8 (B,T,H,W,3) uint8,
+    au_patches_u8 (B,Ta,A,h,w,3) uint8, au_mask (B,Ta,A) f32,
+    au_weight (B,Ta,A) f32) -> fake probabilities (B,).
+
+    The valid-length gates are baked to the exported (T, Ta) — the same
+    contract as one (T, Ta) bucket of the live engine.
+    """
+    params, bn_state, qb = scorer.params, scorer.bn_state, scorer._qbackbones
+    v_valid, au_valid = jnp.int32(T), jnp.int32(Ta)
+
+    def fn(videos_u8, patches_u8, au_mask, au_weight):
+        return scorer._score_impl(
+            params, bn_state, qb, videos_u8, patches_u8, au_mask, au_weight,
+            v_valid, au_valid,
+        )
+
+    B = _batch_dim(batch)
+    H, W = face_hw
+    h, w = patch_hw
+    specs = (
+        jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B, Ta, A, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B, Ta, A), jnp.float32),
+        jax.ShapeDtypeStruct((B, Ta, A), jnp.float32),
+    )
+    return _export(fn, specs, platforms)
+
+
+def export_au_patch(scorer, T: int, A: int, patch_hw, *, batch="b",
+                    platforms: Optional[Sequence[str]] = None) -> bytes:
+    """AUPatchScorer -> serialized program: (patches_u8 (B,T,A,h,w,3) uint8,
+    au_weights (B,T,A) f32, lengths (B,) int32) -> fake probabilities (B,)."""
+    params, bn_state, qb = scorer.params, scorer.bn_state, scorer._qbackbone
+
+    def fn(patches_u8, weights, lengths):
+        return scorer._score_impl(params, bn_state, qb, patches_u8, weights, lengths)
+
+    B = _batch_dim(batch)
+    h, w = patch_hw
+    specs = (
+        jax.ShapeDtypeStruct((B, T, A, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B, T, A), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
+    return _export(fn, specs, platforms)
+
+
+def load_exported(blob: bytes):
+    """Deserialize an exported scoring program; run it via ``.call(*args)``."""
+    return jexport.deserialize(blob)
