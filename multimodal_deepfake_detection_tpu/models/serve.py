@@ -257,8 +257,10 @@ class AudioScorer(_ShardedScoringMixin):
         self.mask_padding = mask_padding
         self.folded_backbone = jax.device_put(fold_xception_bn(params["backbone"], bn_state["backbone"]))
         self.head_params = jax.device_put({k: v for k, v in params.items() if k != "backbone"})
-        if quantize not in (None, "w8a8"):
-            raise ValueError(f"quantize must be None or 'w8a8', got {quantize!r}")
+        if quantize not in (None, "w8a8", "w8a8-hybrid", "w8a8-pallas"):
+            raise ValueError(
+                f"quantize must be None, 'w8a8', 'w8a8-hybrid' or 'w8a8-pallas', got {quantize!r}"
+            )
         self.quantize = quantize
         self._qbackbone = None
         self.mfcc_kw = dict(sr=sr, n_mfcc=n_mfcc, n_fft=n_fft, hop_length=hop_length)
@@ -296,7 +298,10 @@ class AudioScorer(_ShardedScoringMixin):
             jnp.asarray(waveforms, jnp.float32)
         )
         amaxes = calibrate_amax(self.folded_backbone, imgs, compute_dtype=self.compute_dtype)
-        qtree = quantize_folded_xception(self.folded_backbone, amaxes, quant_depthwise=True)
+        qtree = quantize_folded_xception(
+            self.folded_backbone, amaxes, quant_depthwise=True,
+            skip_middle=(self.quantize == "w8a8-hybrid"),
+        )
         self._qbackbone = (
             replicate(self.mesh, qtree) if self.mesh is not None else jax.device_put(qtree)
         )
@@ -306,9 +311,11 @@ class AudioScorer(_ShardedScoringMixin):
         if "w_q" in backbone["conv1"]:  # quantized tree (trace-time branch)
             from .quant import xception_quant_walk
 
+            mid_pallas = self.quantize in ("w8a8-hybrid", "w8a8-pallas")
             feats = xception_quant_walk(
                 backbone, imgs, quant=True, compute_dtype=self.compute_dtype,
-                features_only=True,
+                features_only=True, middle_pallas=mid_pallas,
+                pallas_interpret=mid_pallas and not _use_pallas_default(),
             ).reshape(B, T, -1)
         else:
             feats = folded_xception_apply(

@@ -98,17 +98,20 @@ def middle_block_pos_pallas(
     H = W = int(round(HW ** 0.5))
     assert H * W == HW, "position-major kernel expects the square middle trunk"
     BT = batch_tile
-    while B % BT:
-        BT //= 2
-    BT = max(BT, 1)
+    # Mosaic requires the sublane (second-minor) block dim be a multiple of 8
+    # (or the full axis), so the batch axis pads UP to the tile instead of the
+    # tile shrinking below 8 — odd backbone batches (e.g. B*T serving clips)
+    # hit this; pad rows are pure compute, sliced off after.
+    Bp = -(-B // BT) * BT
+    xp_in = jnp.concatenate([xp, jnp.zeros((HW, Bp - B, C), xp.dtype)], 1) if Bp != B else xp
     NCH = pos_chunks
     while HW % NCH:
         NCH //= 2
     NCH = max(NCH, 1)
     kernel = partial(_pos_kernel, H=H, W=W, C=C, reps=reps, BT=BT, NCH=NCH)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B // BT,),
+        grid=(Bp // BT,),
         in_specs=[
             pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
             pl.BlockSpec((reps, 9, C), lambda i: (0, 0, 0)),
@@ -116,7 +119,7 @@ def middle_block_pos_pallas(
             pl.BlockSpec((reps, C), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((HW, B, C), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((HW, Bp, C), xp.dtype),
         scratch_shapes=[pltpu.VMEM((HW + 2 * W + 2, BT, C), jnp.bfloat16)],
         # the resident set (double-buffered I/O blocks + pad scratch + packed
         # pointwise weights) legitimately needs ~17 MB at BT=8/C=728; the
@@ -124,7 +127,8 @@ def middle_block_pos_pallas(
         # the hardware's (v5e has 128 MB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dw.astype(jnp.float32), pw.astype(jnp.bfloat16), b.astype(jnp.float32))
+    )(xp_in, dw.astype(jnp.float32), pw.astype(jnp.bfloat16), b.astype(jnp.float32))
+    return out[:, :B] if Bp != B else out
 
 
 def _pos_q_kernel(
@@ -212,9 +216,10 @@ def middle_block_pos_pallas_w8(
     H = W = int(round(HW ** 0.5))
     assert H * W == HW, "position-major kernel expects the square middle trunk"
     BT = batch_tile
-    while B % BT:
-        BT //= 2
-    BT = max(BT, 1)
+    # batch pads UP to the tile (Mosaic sublane constraint) — see
+    # middle_block_pos_pallas
+    Bp = -(-B // BT) * BT
+    xp_in = jnp.concatenate([xp, jnp.zeros((HW, Bp - B, C), xp.dtype)], 1) if Bp != B else xp
     NCH = pos_chunks
     while HW % NCH:
         NCH //= 2
@@ -223,9 +228,9 @@ def middle_block_pos_pallas_w8(
     dw_scaled = dw.astype(jnp.float32) / s_in[:, None, None]
     sc = s_in[:, None] * s_w.astype(jnp.float32)
     kernel = partial(_pos_q_kernel, H=H, W=W, C=C, reps=reps, BT=BT, NCH=NCH)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B // BT,),
+        grid=(Bp // BT,),
         in_specs=[
             pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
             pl.BlockSpec((reps, 9, C), lambda i: (0, 0, 0)),
@@ -234,11 +239,12 @@ def middle_block_pos_pallas_w8(
             pl.BlockSpec((reps, C), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((HW, BT, C), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((HW, B, C), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((HW, Bp, C), xp.dtype),
         scratch_shapes=[pltpu.VMEM((HW + 2 * W + 2, BT, C), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dw_scaled, pw_q, sc, b.astype(jnp.float32))
+    )(xp_in, dw_scaled, pw_q, sc, b.astype(jnp.float32))
+    return out[:, :B] if Bp != B else out
 
 
 def pack_middle_block_q(qblock):

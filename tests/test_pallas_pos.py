@@ -121,3 +121,29 @@ def test_pos_w8_kernel_matches_integer_emulation():
     np.testing.assert_allclose(got, ref, atol=float(lsb) * 0.05 + 0.05, rtol=0.02)
     cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9)
     assert cos > 0.999, cos
+
+
+def test_pos_kernels_pad_odd_batches():
+    """Mosaic needs sublane blocks in multiples of 8: odd batch axes (e.g.
+    B*T=22 from a 2-clip x 11-frame audio batch) pad UP to the tile instead
+    of the tile shrinking below 8 (which Mosaic rejects). Outputs equal the
+    per-image math regardless of padding."""
+    from multimodal_deepfake_detection_tpu.ops.pallas.sepconv_block import (
+        middle_block_pallas_v2,
+    )
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 3, 4, 4, 128  # B=3: pads to one 8-wide tile
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.bfloat16)
+    dw = jnp.asarray(rng.normal(0, 0.2, (3, 9, C)), jnp.float32)
+    pw = jnp.asarray(rng.normal(0, 0.08, (3, C, C)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (3, C)), jnp.float32)
+
+    ref = middle_block_pallas_v2(
+        x, dw, pw, b, interpret=True, precise=True, per_image_dot=True, images_per_step=1
+    )
+    out = middle_block_pos_pallas(
+        to_pos_layout(x), dw, pw, b, interpret=True, batch_tile=8, pos_chunks=4
+    )
+    assert out.shape == (H * W, B, C)
+    np.testing.assert_array_equal(np.asarray(from_pos_layout(out, H, W)), np.asarray(ref))

@@ -363,3 +363,24 @@ def test_visual_scorer_w8a8_pallas_close_to_fp():
     # the full tree stays quantized through the middle flow
     assert "w_q" in q._qbackbone["blocks"][4]["units"][0]["pointwise"]
     np.testing.assert_allclose(got_q, fp.score(frames), atol=0.1)
+
+
+def test_audio_scorer_w8a8_pallas_close_to_fp():
+    """AudioScorer accepts the hybrid/pallas quant modes too (same Xception
+    backbone); w8a8-pallas tracks the fp scorer."""
+    from multimodal_deepfake_detection_tpu.models.heads import xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import AudioScorer
+
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(21), 8)
+    waves = np.asarray(
+        np.sin(np.linspace(0, 700, 3200)).reshape(2, 1600), np.float32
+    ) + 0.1 * np.random.default_rng(6).standard_normal((2, 1600)).astype(np.float32)
+
+    fp = AudioScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    q = AudioScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False,
+        quantize="w8a8-pallas",
+    )
+    got_q = q.score(waves)  # implicit calibration
+    assert "w_q" in q._qbackbone["blocks"][4]["units"][0]["pointwise"]
+    np.testing.assert_allclose(got_q, fp.score(waves), atol=0.1)
