@@ -384,3 +384,32 @@ def test_audio_scorer_w8a8_pallas_close_to_fp():
     got_q = q.score(waves)  # implicit calibration
     assert "w_q" in q._qbackbone["blocks"][4]["units"][0]["pointwise"]
     np.testing.assert_allclose(got_q, fp.score(waves), atol=0.1)
+
+
+def test_sharded_w8a8_scorer_matches_single_chip():
+    """Mesh-sharded w8a8 serving == single-chip: the quantized tree (int8
+    weights + scales) replicates over the mesh at calibrate() time and the
+    batch splits over 'data', scores unchanged."""
+    from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
+    from multimodal_deepfake_detection_tpu.parallel.mesh import make_mesh
+
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(22), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(23), 8, 2)
+    frames = np.random.default_rng(7).integers(0, 255, (3, 2, 32, 32, 3), np.uint8)
+
+    single = VisualScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
+    )
+    single.calibrate(frames)
+    ref = single.score(frames)
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    sharded = VisualScorer(
+        params, bn_state, compute_dtype=jnp.float32, use_pallas=False,
+        quantize="w8a8", mesh=mesh,
+    )
+    sharded.calibrate(frames)
+    got = sharded.score(frames)
+    assert got.shape == (3,)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
