@@ -185,6 +185,16 @@ def folded_xception_apply(
                     h, *pack_entry_block(bp), leading_relu0=start_with_relu,
                     interpret=pallas_interpret,
                 ).astype(h.dtype)
+                # the striped kernel's storage pad is NOT the whole-image
+                # kernel's bordered valid_w layout — densify here so a
+                # following fused block (e.g. MDFD_ENTRY_FUSE_H=125,63,32)
+                # sees dense input instead of mis-shaped borders
+                vw_s = (logical_w + 1) // 2
+                if h.shape[2] != vw_s:
+                    h = h[:, :, :vw_s, :]
+                if upto == f"block{k + 1}":
+                    return h
+                continue
             else:
                 h = entry_block_pallas(
                     h, *pack_entry_block(bp), leading_relu0=start_with_relu,
