@@ -213,3 +213,28 @@ def test_striped_entry_block_matches_xla():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=3e-2, atol=3e-2, err_msg=f"H={H} SH={SH}",
         )
+
+
+def test_striped_then_fused_entry_chain_matches_plain(monkeypatch):
+    """Striped block1 chained into whole-image fused block2/3 (the
+    MDFD_ENTRY_FUSE_H=125,63,32 serving experiment at 256^2): the striped
+    kernel's storage pad is NOT the whole-image kernel's bordered valid_w
+    layout, so fold.py must densify between them (regression for the
+    mis-shaped-BlockSpec chaining bug, PERF.md r3 small-batch study).
+    210^2 input -> block1 H=102 (striped: > whole-image VMEM cap),
+    block2 H=51, block3 H=26 (whole-image)."""
+    monkeypatch.setenv("MDFD_ENTRY_FUSE_H", "102,51,26")
+    params, state = xception_init(jax.random.PRNGKey(5), num_classes=3)
+    folded = fold_xception_bn(params, state)
+    # bf16 activations as on the serving path (the striped kernel's stripe
+    # scratch is bf16)
+    x = jnp.asarray(
+        jax.random.uniform(jax.random.PRNGKey(6), (1, 210, 210, 3)), jnp.bfloat16
+    )
+    ref = folded_xception_apply(folded, x, compute_dtype=jnp.bfloat16)
+    out = folded_xception_apply(
+        folded, x, compute_dtype=jnp.bfloat16, use_pallas=True, pallas_interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=6e-2, atol=2e-2
+    )
