@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Device time of the AU model families' serving forwards (real TPU).
+
+The headline bench covers the flagship Xception; this closes the perf story
+for the other two families — AUFaceCrossDetector (two ResNet-18 streams +
+AU attention + biLSTMs + bidirectional cross-attention,
+/root/reference/models_au_fusion.py contract) and
+AUPatchResNetClassifierWithAUAttention — with the same chained-K
+differencing as bench.py (data-dependent numerically-null perturbation
+between iterations, host readback barrier, relay floor cancelled by
+K-differencing).
+
+Reports device ms per clip-batch and clips/s at reference-like shapes
+(B clips x T frames x A AUs at 224^2 faces / 128^2 patches by default; the
+train_au_face defaults, /root/reference/train_au_face.py:563-574).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--aus", type=int, default=17)
+    p.add_argument("--face_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=128)
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--ka", type=int, default=2)
+    p.add_argument("--kb", type=int, default=8)
+    p.add_argument("--which", default="au_face,au_patch")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from multimodal_deepfake_detection_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from multimodal_deepfake_detection_tpu.models.au_face import (
+        au_face_detector_apply,
+        au_face_detector_init,
+    )
+    from multimodal_deepfake_detection_tpu.models.resnet_lstm import (
+        au_patch_classifier_apply,
+        au_patch_classifier_init,
+    )
+
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+    B, T, A = args.batch, args.frames, args.aus
+    rng = np.random.default_rng(0)
+
+    record = {"batch": B, "frames": T, "aus": A}
+
+    def timed(fn, iters):
+        float(fn(999_999))
+        best = float("inf")
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(fn(i))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def chainer(apply_fn, *arrays):
+        """Chained-K timing. EVERY input array is perturbed per iteration
+        with the data-dependent numerically-null factor — perturbing only
+        one would let XLA hoist the other inputs' entire subgraphs out of
+        the fori_loop as loop-invariant (observed: the AU stream vanished
+        from the measurement when only the video tensor was perturbed)."""
+        arrays = tuple(jax.device_put(a) for a in arrays)
+
+        def make(K):
+            @jax.jit
+            def chain(ars, i):
+                f0 = 1.0 + i.astype(jnp.float32) * 1e-6
+                ars = tuple(a * f0.astype(a.dtype) for a in ars)
+
+                def body(_, carry):
+                    xs, acc = carry
+                    s = apply_fn(*xs)
+                    f = 1.0 + s * 1e-38
+                    xs = tuple(
+                        (a.astype(jnp.float32) * f).astype(a.dtype) for a in xs
+                    )
+                    return xs, acc + s
+
+                _, acc = jax.lax.fori_loop(0, K, body, (ars, jnp.float32(0.0)))
+                return acc
+
+            return lambda i: chain(arrays, jnp.int32(i))
+
+        ta = timed(make(args.ka), args.iters)
+        tb = timed(make(args.kb), args.iters)
+        return (tb - ta) / (args.kb - args.ka)
+
+    if "au_face" in args.which:
+        params, state = au_face_detector_init(jax.random.PRNGKey(0), num_aus=A)
+        params = jax.device_put(params)
+        state = jax.device_put(state)
+        vids = jnp.asarray(rng.random((B, T, args.face_size, args.face_size, 3)), jnp.bfloat16)
+        aus = jnp.asarray(rng.random((B, T, A, args.patch_size, args.patch_size, 3)), jnp.bfloat16)
+        mask = jnp.ones((B, T, A), jnp.float32)
+
+        def af(v, a, m):
+            logits, _, _, _ = au_face_detector_apply(
+                params, state, v, a, m, m, train=False, compute_dtype=jnp.bfloat16
+            )
+            return jnp.sum(logits.astype(jnp.float32))
+
+        dev = chainer(af, vids, aus, mask)
+        record.update(
+            au_face_ms=round(dev * 1e3, 2),
+            au_face_clips_per_sec=round(B / dev, 1),
+            au_face_frames_per_sec=round(B * T / dev, 1),
+        )
+        print(f"au_face: {dev * 1e3:.2f} ms/batch = {B / dev:.1f} clips/s "
+              f"({B * T / dev:.1f} frames/s)", flush=True)
+
+    if "au_patch" in args.which:
+        params, state = au_patch_classifier_init(jax.random.PRNGKey(1))
+        params = jax.device_put(params)
+        state = jax.device_put(state)
+        patches = jnp.asarray(
+            rng.random((B, T, A, args.patch_size, args.patch_size, 3)), jnp.bfloat16
+        )
+        w = jnp.ones((B, T, A), jnp.float32)
+
+        def ap(x, wts):
+            logits, _ = au_patch_classifier_apply(
+                params, state, x, wts, train=False, compute_dtype=jnp.bfloat16
+            )
+            return jnp.sum(logits.astype(jnp.float32))
+
+        dev = chainer(ap, patches, w)
+        record.update(
+            au_patch_ms=round(dev * 1e3, 2),
+            au_patch_clips_per_sec=round(B / dev, 1),
+        )
+        print(f"au_patch: {dev * 1e3:.2f} ms/batch = {B / dev:.1f} clips/s", flush=True)
+
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
