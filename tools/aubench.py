@@ -33,6 +33,10 @@ def main():
     p.add_argument("--ka", type=int, default=2)
     p.add_argument("--kb", type=int, default=8)
     p.add_argument("--which", default="au_face,au_patch")
+    p.add_argument(
+        "--train", action="store_true",
+        help="also measure the au_face full train step (fwd+bwd+Adam, live BN)",
+    )
     args = p.parse_args()
 
     import jax
@@ -142,6 +146,61 @@ def main():
             au_patch_clips_per_sec=round(B / dev, 1),
         )
         print(f"au_patch: {dev * 1e3:.2f} ms/batch = {B / dev:.1f} clips/s", flush=True)
+
+    if args.train and "au_face" in args.which:
+        import optax
+
+        params, state = au_face_detector_init(jax.random.PRNGKey(0), num_aus=A)
+        vids = jnp.asarray(rng.random((B, T, args.face_size, args.face_size, 3)), jnp.bfloat16)
+        aus = jnp.asarray(rng.random((B, T, A, args.patch_size, args.patch_size, 3)), jnp.bfloat16)
+        mask = jnp.ones((B, T, A), jnp.float32)
+        y = jnp.asarray(np.arange(B) % 2, jnp.float32)
+        tx = optax.adam(1e-4)
+
+        def loss_fn(p, st, v, a, m):
+            logits, _, _, new_st = au_face_detector_apply(
+                p, st, v, a, m, m, train=True, compute_dtype=jnp.bfloat16
+            )
+            probs = jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+            loss = -jnp.mean(y * jnp.log(probs + 1e-7) + (1 - y) * jnp.log(1 - probs + 1e-7))
+            return loss, new_st
+
+        def step(carry, v, a, m):
+            p, st, opt = carry
+            (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, st, v, a, m)
+            updates, opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), new_st, opt), loss
+
+        carry0 = (params, state, tx.init(params))
+        carry0 = jax.device_put(carry0)
+
+        def make(K):
+            @jax.jit
+            def chain(carry, ars, i):
+                f0 = 1.0 + i.astype(jnp.float32) * 1e-6
+                ars = tuple(x * f0.astype(x.dtype) for x in ars)
+
+                def body(_, c):
+                    carry, xs, acc = c
+                    carry, loss = step(carry, *xs)
+                    f = 1.0 + loss * 1e-38
+                    xs = tuple((x.astype(jnp.float32) * f).astype(x.dtype) for x in xs)
+                    return carry, xs, acc + loss
+
+                _, _, acc = jax.lax.fori_loop(0, K, body, (carry, ars, jnp.float32(0.0)))
+                return acc
+
+            ars = tuple(jax.device_put(x) for x in (vids, aus, mask))
+            return lambda i: chain(carry0, ars, jnp.int32(i))
+
+        ta = timed(make(args.ka), args.iters)
+        tb = timed(make(args.kb), args.iters)
+        dev = (tb - ta) / (args.kb - args.ka)
+        record.update(
+            au_face_train_step_ms=round(dev * 1e3, 2),
+            au_face_train_clips_per_sec=round(B / dev, 1),
+        )
+        print(f"au_face train step: {dev * 1e3:.2f} ms = {B / dev:.1f} clips/s", flush=True)
 
     print(json.dumps(record))
 
