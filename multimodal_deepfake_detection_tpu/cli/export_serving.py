@@ -29,8 +29,10 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass
 class Config:
-    engine: str = "visual"  # visual | audio | au_face | au_patch
+    engine: str = "visual"  # visual | audio | au_face | au_patch | av
     ckpt_path: str = "Checkpoints/XceptionLSTMV_ArcFace_Best.npz"
+    audio_ckpt_path: str = ""  # av: the audio bundle (ckpt_path = visual)
+    av_alpha: float = 0.5  # av: fused score = alpha*visual + (1-alpha)*audio
     out: str = "scoring_program.jaxprog"
     # static length axes of the exported program (one artifact per bucket)
     frames: int = 50  # visual/au_face T
@@ -101,6 +103,20 @@ def main(argv=None, *, log=print):
         blob = E.export_au_face(
             scorer, T=cfg.frames, Ta=cfg.au_frames, A=cfg.num_aus,
             face_hw=(cfg.size, cfg.size), patch_hw=(cfg.patch_size, cfg.patch_size),
+            batch=batch, platforms=platforms,
+        )
+    elif cfg.engine == "av":
+        if not cfg.audio_ckpt_path:
+            raise ValueError("engine av needs --audio_ckpt_path (ckpt_path = visual bundle)")
+        if calib is not None:
+            raise ValueError("av export: calibrate the sub-engines via the Python API")
+        av = S.AVScorer.from_bundles(
+            cfg.ckpt_path, cfg.audio_ckpt_path, alpha=cfg.av_alpha,
+            hidden_dim=cfg.hidden_dim, audio_hidden=cfg.audio_hidden,
+            mask_padding=cfg.mask_padding, **common,
+        )
+        blob = E.export_av(
+            av, T=cfg.frames, H=cfg.size, W=cfg.size, num_samples=cfg.num_samples,
             batch=batch, platforms=platforms,
         )
     elif cfg.engine == "au_patch":

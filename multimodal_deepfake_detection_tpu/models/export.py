@@ -137,6 +137,36 @@ def export_au_patch(scorer, T: int, A: int, patch_hw, *, batch="b",
     return _export(fn, specs, platforms)
 
 
+def export_av(av_scorer, T: int, H: int, W: int, num_samples: int, *, batch="b",
+              platforms: Optional[Sequence[str]] = None) -> bytes:
+    """AVScorer -> ONE serialized program scoring both modalities:
+    (frames_u8 (B,T,H,W,3) uint8, lengths (B,) int32, waveforms
+    (B, num_samples) float32, frame_lengths (B,) int32) -> fused fake
+    probabilities (B,) = alpha * p_visual + (1-alpha) * p_audio.
+
+    Both backbones (and the alpha) bake into a single artifact — joint AV
+    deployment from one file."""
+    vis, aud = av_scorer.visual, av_scorer.audio
+    v_backbone = vis._qbackbone if vis._qbackbone is not None else vis.folded_backbone
+    a_backbone = aud._qbackbone if aud._qbackbone is not None else aud.folded_backbone
+    v_head, a_head = vis.head_params, aud.head_params
+    alpha = jnp.float32(av_scorer.alpha)
+
+    def fn(frames_u8, lengths, waveforms, frame_lengths):
+        p_v = vis._score_impl(v_backbone, v_head, frames_u8, lengths)
+        p_a = aud._score_impl(a_backbone, a_head, waveforms, frame_lengths, centered=True)
+        return alpha * p_v + (1.0 - alpha) * p_a
+
+    B = _batch_dim(batch)
+    specs = (
+        jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B, int(num_samples)), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
+    return _export(fn, specs, platforms)
+
+
 def load_exported(blob: bytes):
     """Deserialize an exported scoring program; run it via ``.call(*args)``."""
     return jexport.deserialize(blob)

@@ -651,3 +651,55 @@ class AUPatchScorer(_ShardedScoringMixin):
             arrays = self._shard_batch_rows(arrays, B)
         out = self._score(self.params, self.bn_state, self._qbackbone, *arrays)
         return np.asarray(out)[:B]
+
+
+class AVScorer:
+    """Fused audio-visual scoring: BASELINE config-5 at the serving level.
+
+    Composes a :class:`VisualScorer` and an :class:`AudioScorer` over paired
+    clips and returns the convex combination
+    ``alpha * p_visual + (1 - alpha) * p_audio`` — the fusion rule of the
+    batch eval harness (cli/test_av_fused.py). Each sub-engine keeps its own
+    bucket dispatch / mesh / quantization configuration; construct them with
+    whatever deployment levers apply and hand them here.
+
+    The torch reference has no fused AV scoring at all — its modalities are
+    scored by separate scripts (/root/reference/test_visual.py,
+    train_audio.py eval loop); this engine and its AOT export
+    (models/export.py::export_av) are beyond-parity capabilities.
+    """
+
+    def __init__(self, visual: "VisualScorer", audio: "AudioScorer", *, alpha: float = 0.5):
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        self.visual = visual
+        self.audio = audio
+        self.alpha = float(alpha)
+
+    @classmethod
+    def from_bundles(cls, visual_path: str, audio_path: str, *, alpha: float = 0.5,
+                     hidden_dim: int = 128, audio_hidden: int = 512, **kw):
+        """Build both engines from their train-CLI bundles; ``**kw`` (e.g.
+        ``compute_dtype``, ``mesh``, ``mask_padding``) goes to both."""
+        return cls(
+            VisualScorer.from_bundle(visual_path, hidden_dim=hidden_dim, **kw),
+            AudioScorer.from_bundle(audio_path, hidden_dim=audio_hidden, **kw),
+            alpha=alpha,
+        )
+
+    def score(
+        self,
+        frames_u8: np.ndarray,
+        waveforms: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        frame_lengths: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """(B, T, H, W, 3) uint8 frames + (B, samples) float waveforms of the
+        SAME B clips -> fused fake probabilities (B,)."""
+        if frames_u8.shape[0] != waveforms.shape[0]:
+            raise ValueError(
+                f"paired modalities must share B: {frames_u8.shape[0]} vs {waveforms.shape[0]}"
+            )
+        p_v = self.visual.score(frames_u8, lengths)
+        p_a = self.audio.score(waveforms, frame_lengths)
+        return self.alpha * p_v + (1.0 - self.alpha) * p_a

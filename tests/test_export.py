@@ -136,3 +136,37 @@ def test_export_serving_cli(tmp_path):
     frames = np.random.default_rng(10).integers(0, 255, (2, 2, 32, 32, 3), np.uint8)
     got = np.asarray(prog.call(jnp.asarray(frames), jnp.asarray(np.full((2,), 2, np.int32))))
     assert got.shape == (2,) and np.all((got >= 0) & (got <= 1))
+
+
+def test_av_scorer_and_fused_export():
+    """AVScorer = alpha-convex fusion of the two engines (config-5 serving),
+    and export_av bakes BOTH backbones into one artifact whose output equals
+    the live fused score."""
+    from multimodal_deepfake_detection_tpu.models.export import export_av
+    from multimodal_deepfake_detection_tpu.models.serve import AVScorer
+
+    vp, vbn = xception_lstm_init(jax.random.PRNGKey(30), 8)
+    vp["arcface"] = arcface_init(jax.random.PRNGKey(31), 8, 2)
+    ap, abn = xception_lstm_init(jax.random.PRNGKey(32), 8)
+    vis = VisualScorer(vp, vbn, compute_dtype=jnp.float32, use_pallas=False)
+    aud = AudioScorer(ap, abn, compute_dtype=jnp.float32, use_pallas=False)
+    av = AVScorer(vis, aud, alpha=0.7)
+
+    B, T, L = 2, 2, 1600
+    frames = np.random.default_rng(20).integers(0, 255, (B, T, 64, 64, 3), np.uint8)
+    waves = np.sin(np.linspace(0, 90, B * L)).reshape(B, L).astype(np.float32)
+
+    got = av.score(frames, waves)
+    ref = 0.7 * vis.score(frames) + 0.3 * aud.score(waves)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    blob = export_av(av, T=T, H=64, W=64, num_samples=L)
+    prog = load_exported(blob)
+    hop = aud.mfcc_kw["hop_length"]
+    out = np.asarray(prog.call(
+        jnp.asarray(frames),
+        jnp.asarray(np.full((B,), T, np.int32)),
+        jnp.asarray(waves),
+        jnp.asarray(np.full((B,), 1 + L // hop, np.int32)),
+    ))
+    np.testing.assert_allclose(out, got, atol=1e-6)
