@@ -31,10 +31,13 @@ VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
 @dataclasses.dataclass
 class Config:
-    engine: str = "visual"  # visual | audio | au_face | au_patch
+    engine: str = "visual"  # visual | audio | au_face | au_patch | av
     ckpt_path: str = "Checkpoints/XceptionLSTMV_ArcFace_Best.npz"
     input: str = "clips"
     au_input: Optional[str] = None  # au_face: AU patch root paired by stem
+    audio_input: Optional[str] = None  # av: wav/waveform-npy root paired by stem
+    audio_ckpt_path: str = ""  # av: audio bundle (ckpt_path = visual bundle)
+    av_alpha: float = 0.5  # av: fused = alpha*p_visual + (1-alpha)*p_audio
     output: Optional[str] = None  # JSONL path; default stdout
     batch_size: int = 8
     max_frames: int = 50
@@ -102,6 +105,21 @@ def _load_visual_item(path: str, cfg: Config) -> np.ndarray:
     return (np.clip(arr, 0, 1) * 255).astype(np.uint8)
 
 
+def _load_waveform(path: str) -> np.ndarray:
+    """.wav (int PCM normalized) or .npy -> (samples,) float32."""
+    if path.endswith(".wav"):
+        from scipy.io import wavfile
+
+        _sr, wav = wavfile.read(path)
+        wav = wav.astype(np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        if np.abs(wav).max() > 1.5:
+            wav = wav / 32768.0
+        return wav
+    return np.load(path).astype(np.float32).ravel()
+
+
 def _pad_stack(items: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Zero-pad ragged leading dims to the batch max; returns (batch, lengths)."""
     T = max(a.shape[0] for a in items)
@@ -140,6 +158,21 @@ def _build_engine(cfg: Config, mesh):
             cfg.ckpt_path, hidden_dim=cfg.patch_hidden, lstm_hidden=cfg.patch_lstm_hidden,
             buckets=cfg.buckets or None, mask_padding=cfg.mask_padding, **common,
         )
+    if cfg.engine == "av":
+        if not cfg.audio_ckpt_path:
+            raise ValueError("engine av needs --audio_ckpt_path (ckpt_path = visual bundle)")
+        return S.AVScorer(
+            S.VisualScorer.from_bundle(
+                cfg.ckpt_path, hidden_dim=cfg.hidden_dim,
+                buckets=cfg.buckets or None, mask_padding=cfg.mask_padding, **common,
+            ),
+            S.AudioScorer.from_bundle(
+                cfg.audio_ckpt_path, hidden_dim=cfg.audio_hidden,
+                sample_buckets=cfg.sample_buckets or None,
+                mask_padding=cfg.mask_padding, **common,
+            ),
+            alpha=cfg.av_alpha,
+        )
     raise ValueError(f"unknown engine {cfg.engine!r}")
 
 
@@ -162,7 +195,7 @@ def main(argv=None, *, log=print):
         mesh = auto_data_mesh(cfg.batch_size)
     engine = _build_engine(cfg, mesh)
 
-    if cfg.engine == "visual":
+    if cfg.engine in ("visual", "av"):
         paths = _list_inputs(cfg.input, (".npy",) + VIDEO_EXTS)
     elif cfg.engine == "audio":
         paths = _list_inputs(cfg.input, (".npy", ".wav"))
@@ -181,22 +214,25 @@ def main(argv=None, *, log=print):
                 batch, lengths = _pad_stack(items)
                 scores = engine.score(batch, lengths)
             elif cfg.engine == "audio":
-                items = []
-                for p in chunk:
-                    if p.endswith(".wav"):
-                        from scipy.io import wavfile
-
-                        _sr, wav = wavfile.read(p)
-                        wav = wav.astype(np.float32)
-                        if wav.ndim > 1:
-                            wav = wav.mean(axis=1)
-                        if np.abs(wav).max() > 1.5:
-                            wav = wav / 32768.0
-                        items.append(wav)
-                    else:
-                        items.append(np.load(p).astype(np.float32).ravel())
-                batch, _lengths = _pad_stack(items)
+                batch, _lengths = _pad_stack([_load_waveform(p) for p in chunk])
                 scores = engine.score(batch)
+            elif cfg.engine == "av":  # paired visual + audio by stem
+                if not cfg.audio_input:
+                    raise ValueError("--audio_input (wav/npy root) required for av")
+                items, waves = [], []
+                for p in chunk:
+                    stem = os.path.splitext(os.path.basename(p))[0]
+                    for ext in (".wav", ".npy"):
+                        ap = os.path.join(cfg.audio_input, stem + ext)
+                        if os.path.exists(ap):
+                            break
+                    else:
+                        raise FileNotFoundError(f"no audio for {stem} under {cfg.audio_input}")
+                    items.append(_load_visual_item(p, cfg))
+                    waves.append(_load_waveform(ap))
+                batch, lengths = _pad_stack(items)
+                wbatch, _wl = _pad_stack(waves)
+                scores = engine.score(batch, wbatch, lengths)
             elif cfg.engine == "au_patch":
                 items, weights = [], []
                 for p in chunk:

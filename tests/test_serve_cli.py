@@ -127,3 +127,44 @@ def test_serve_au_face(tmp_path):
     assert n == 2
     recs = [json.loads(l) for l in out.read_text().splitlines()]
     assert all(np.isfinite(r["score"]) for r in recs)
+
+
+def test_serve_av_paired(visual_bundle, tmp_path):
+    """engine=av: visual npys paired with waveform npys/wavs by stem, fused
+    JSONL scores = alpha*p_v + (1-alpha)*p_a."""
+    from multimodal_deepfake_detection_tpu.models.heads import xception_lstm_init
+
+    ap, abn = xception_lstm_init(jax.random.PRNGKey(7), 8)
+    audio_bundle = str(tmp_path / "audio.npz")
+    save_bundle(audio_bundle, {"model": ap, "state": abn})
+
+    rng = np.random.default_rng(3)
+    vin = tmp_path / "clips"
+    ain = tmp_path / "waves"
+    vin.mkdir(), ain.mkdir()
+    for stem in ("real_a", "fake_b"):
+        np.save(vin / f"{stem}.npy", (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8))
+        np.save(ain / f"{stem}.npy", rng.standard_normal(1600).astype(np.float32))
+
+    out = tmp_path / "av.jsonl"
+    n = serve.main(
+        [
+            "--engine", "av",
+            "--ckpt_path", visual_bundle,
+            "--audio_ckpt_path", audio_bundle,
+            "--input", str(vin),
+            "--audio_input", str(ain),
+            "--output", str(out),
+            "--hidden_dim", "8",
+            "--audio_hidden", "8",
+            "--av_alpha", "0.7",
+            "--batch_size", "2",
+            "--buckets", "4",
+            "--sample_buckets", "1600",
+            "--compute_dtype", "float32",
+        ],
+        log=lambda s: None,
+    )
+    assert n == 2
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert all(0.0 <= r["score"] <= 1.0 for r in recs)
