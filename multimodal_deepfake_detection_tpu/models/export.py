@@ -13,7 +13,16 @@ needed — and lowers for the platforms requested at export time (e.g.
 The batch dimension is symbolic by default (one program serves any B); the
 length axes (frames T, waveform samples, patch counts) stay static — export
 one artifact per serving bucket, mirroring the engines' own bucket-dispatch
-compilation strategy (serve.py). Host-side concerns stay host-side exactly
+compilation strategy (serve.py).
+
+Platform rules (verified on chip): single-platform artifacts may contain
+Mosaic custom calls — the default TPU serving path (Pallas pos middle flow)
+and the fully quantized ``"w8a8-pallas"`` path both export and replay
+bit-identically to the live scorer (the int8 artifact is ~4x smaller:
+int8 weights travel as int8 constants). Multi-platform exports
+(``platforms=["cpu", "tpu"]``) require an XLA-only program — build the
+scorer with ``use_pallas=False`` (fp) or ``quantize="w8a8"`` (pure-XLA
+int8); a Pallas kernel has no CPU lowering outside interpret mode. Host-side concerns stay host-side exactly
 as in the live engines: callers pad/bucket to the exported shape and slice
 the output, and mesh sharding is not baked in (shard outside, or export
 per-shard programs).
