@@ -195,6 +195,12 @@ def main(argv=None, *, log=print):
         mesh = auto_data_mesh(cfg.batch_size)
     engine = _build_engine(cfg, mesh)
 
+    if cfg.engine == "av" and not cfg.audio_input:
+        # validated up front — inside the scoring loop a missing flag would
+        # surface only on the first chunk (or never, on an empty input dir)
+        raise ValueError("--audio_input (wav/npy root) required for av")
+    if cfg.engine == "au_face" and not cfg.au_input:
+        raise ValueError("--au_input (AU patch root) required for au_face")
     if cfg.engine in ("visual", "av"):
         paths = _list_inputs(cfg.input, (".npy",) + VIDEO_EXTS)
     elif cfg.engine == "audio":
@@ -217,8 +223,6 @@ def main(argv=None, *, log=print):
                 batch, _lengths = _pad_stack([_load_waveform(p) for p in chunk])
                 scores = engine.score(batch)
             elif cfg.engine == "av":  # paired visual + audio by stem
-                if not cfg.audio_input:
-                    raise ValueError("--audio_input (wav/npy root) required for av")
                 items, waves = [], []
                 for p in chunk:
                     stem = os.path.splitext(os.path.basename(p))[0]
@@ -251,8 +255,6 @@ def main(argv=None, *, log=print):
                 wbatch, _ = _pad_stack(weights)
                 scores = engine.score(batch, wbatch, lengths)
             else:  # au_face: pair video npys with AU patch npys by stem
-                if not cfg.au_input:
-                    raise ValueError("--au_input (AU patch root) required for au_face")
                 vids, aus = [], []
                 for p in chunk:
                     stem = os.path.splitext(os.path.basename(p))[0]

@@ -22,10 +22,13 @@ bit-identically to the live scorer (the int8 artifact is ~4x smaller:
 int8 weights travel as int8 constants). Multi-platform exports
 (``platforms=["cpu", "tpu"]``) require an XLA-only program — build the
 scorer with ``use_pallas=False`` (fp) or ``quantize="w8a8"`` (pure-XLA
-int8); a Pallas kernel has no CPU lowering outside interpret mode. Host-side concerns stay host-side exactly
-as in the live engines: callers pad/bucket to the exported shape and slice
-the output, and mesh sharding is not baked in (shard outside, or export
-per-shard programs).
+int8); a Pallas kernel has no CPU lowering outside interpret mode. For the
+Pallas-routed quant modes, the interpret flag is pinned to the export
+TARGET platform (``_interpret_for_targets``), never the exporting host's.
+
+Host-side concerns stay host-side exactly as in the live engines: callers
+pad/bucket to the exported shape and slice the output, and mesh sharding is
+not baked in (shard outside, or export per-shard programs).
 
 CLI: ``python -m multimodal_deepfake_detection_tpu.cli.export_serving``.
 """
@@ -50,6 +53,44 @@ def _export(fn, specs, platforms):
     return bytes(exp.serialize())
 
 
+class _interpret_for_targets:
+    """Pin the quant walker's pallas-interpret flag to the export TARGET.
+
+    The flag bakes into the traced program, so deriving it from the
+    exporting host's backend is wrong whenever host != target (e.g.
+    exporting a ``w8a8-pallas`` scorer for TPU from a CPU host would bake
+    the interpret-mode lowering and never run the int8 MXU kernel).
+    ``platforms=None`` keeps the runtime default (host == target). A mixed
+    cpu+tpu target with a Pallas-routed quant mode is rejected: Mosaic has
+    no CPU lowering, and interpret mode everywhere would silently cripple
+    the TPU path — use ``quantize="w8a8"``/``use_pallas=False`` instead.
+    """
+
+    def __init__(self, scorers, platforms):
+        self.scorers = [s for s in scorers if getattr(s, "quantize", None) in
+                        ("w8a8-hybrid", "w8a8-pallas")]
+        self.forced = None
+        if platforms is not None and self.scorers:
+            plats = {str(p).lower() for p in platforms}
+            if "cpu" in plats and len(plats) > 1:
+                raise ValueError(
+                    "multi-platform export incl. cpu cannot carry Pallas-routed "
+                    "quant modes (w8a8-hybrid/w8a8-pallas); use quantize='w8a8' "
+                    "or a single target platform"
+                )
+            self.forced = "cpu" in plats
+
+    def __enter__(self):
+        for s in self.scorers:
+            s._force_pallas_interpret = self.forced
+        return self
+
+    def __exit__(self, *exc):
+        for s in self.scorers:
+            s._force_pallas_interpret = None
+        return False
+
+
 def export_visual(scorer, T: int, H: int, W: int, *, batch="b",
                   platforms: Optional[Sequence[str]] = None) -> bytes:
     """VisualScorer -> serialized program: (frames_u8 (B,T,H,W,3) uint8,
@@ -70,7 +111,8 @@ def export_visual(scorer, T: int, H: int, W: int, *, batch="b",
         jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.uint8),
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
-    return _export(fn, specs, platforms)
+    with _interpret_for_targets([scorer], platforms):
+        return _export(fn, specs, platforms)
 
 
 def export_audio(scorer, num_samples: int, *, batch="b",
@@ -94,7 +136,8 @@ def export_audio(scorer, num_samples: int, *, batch="b",
         jax.ShapeDtypeStruct((B, int(num_samples)), jnp.float32),
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
-    return _export(fn, specs, platforms)
+    with _interpret_for_targets([scorer], platforms):
+        return _export(fn, specs, platforms)
 
 
 def export_au_face(scorer, T: int, Ta: int, A: int, face_hw, patch_hw, *, batch="b",
@@ -173,7 +216,8 @@ def export_av(av_scorer, T: int, H: int, W: int, num_samples: int, *, batch="b",
         jax.ShapeDtypeStruct((B, int(num_samples)), jnp.float32),
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
-    return _export(fn, specs, platforms)
+    with _interpret_for_targets([vis, aud], platforms):
+        return _export(fn, specs, platforms)
 
 
 def load_exported(blob: bytes):

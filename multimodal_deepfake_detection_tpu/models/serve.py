@@ -35,6 +35,22 @@ def _use_pallas_default() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
+def _mid_interpret(scorer, mid_pallas: bool) -> bool:
+    """Whether the quant walker's pos kernels run in interpret mode.
+
+    Defaults to the current backend (Mosaic is TPU-only; on CPU the kernels
+    run interpreted so every quant mode stays testable everywhere). AOT
+    export overrides via ``scorer._force_pallas_interpret`` — the flag bakes
+    into the traced program, so it must track the export TARGET platform,
+    not the exporting host's (models/export.py)."""
+    if not mid_pallas:
+        return False
+    forced = getattr(scorer, "_force_pallas_interpret", None)
+    if forced is not None:
+        return forced
+    return not _use_pallas_default()
+
+
 class _ShardedScoringMixin:
     """Mesh-sharded batch scoring shared by the serving engines.
 
@@ -194,9 +210,7 @@ class VisualScorer(_ShardedScoringMixin):
             feats = xception_quant_walk(
                 backbone, x, quant=True, compute_dtype=self.compute_dtype,
                 features_only=True, middle_pallas=mid_pallas,
-                # Mosaic is TPU-only; on CPU the pos kernels run interpreted
-                # so these modes stay testable everywhere
-                pallas_interpret=mid_pallas and not _use_pallas_default(),
+                pallas_interpret=_mid_interpret(self, mid_pallas),
             ).reshape(B, T, -1)
         else:
             feats = folded_xception_apply(
@@ -315,7 +329,7 @@ class AudioScorer(_ShardedScoringMixin):
             feats = xception_quant_walk(
                 backbone, imgs, quant=True, compute_dtype=self.compute_dtype,
                 features_only=True, middle_pallas=mid_pallas,
-                pallas_interpret=mid_pallas and not _use_pallas_default(),
+                pallas_interpret=_mid_interpret(self, mid_pallas),
             ).reshape(B, T, -1)
         else:
             feats = folded_xception_apply(

@@ -170,3 +170,29 @@ def test_av_scorer_and_fused_export():
         jnp.asarray(np.full((B,), 1 + L // hop, np.int32)),
     ))
     np.testing.assert_allclose(out, got, atol=1e-6)
+
+
+def test_export_interpret_pinned_to_target_platform():
+    """Pallas-routed quant modes: the interpret flag bakes into the artifact,
+    so it must track the export TARGET (platforms=...), not the exporting
+    host. From this CPU host: cpu target -> interpret lowering (replayable
+    here); mixed cpu+tpu target -> rejected."""
+    import pytest
+
+    sc = _visual_scorer(quantize="w8a8-pallas")
+    frames = np.random.default_rng(11).integers(0, 255, (2, 2, 64, 64, 3), np.uint8)
+    sc.calibrate(frames)
+
+    # explicit cpu target from the cpu host: works and replays here
+    blob = export_visual(sc, T=2, H=64, W=64, batch=2, platforms=["cpu"])
+    got = np.asarray(load_exported(blob).call(
+        jnp.asarray(frames), jnp.asarray(np.full((2,), 2, np.int32))
+    ))
+    np.testing.assert_allclose(got, sc.score(frames), atol=1e-6)
+    # the override is restored after export (live scoring still works)
+    assert sc._force_pallas_interpret is None
+    sc.score(frames)
+
+    # mixed target with a Pallas-routed mode is an explicit error
+    with pytest.raises(ValueError, match="Pallas-routed"):
+        export_visual(sc, T=2, H=64, W=64, batch=2, platforms=["cpu", "tpu"])

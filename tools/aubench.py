@@ -16,8 +16,8 @@ train_au_face defaults, /root/reference/train_au_face.py:563-574).
 """
 import argparse
 import json
+import os
 import sys
-import time
 
 import numpy as np
 
@@ -61,46 +61,13 @@ def main():
 
     record = {"batch": B, "frames": T, "aus": A}
 
-    def timed(fn, iters):
-        float(fn(999_999))
-        best = float("inf")
-        for i in range(iters):
-            t0 = time.perf_counter()
-            float(fn(i))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from chainedk import chained_device_time, timed_best
 
     def chainer(apply_fn, *arrays):
-        """Chained-K timing. EVERY input array is perturbed per iteration
-        with the data-dependent numerically-null factor — perturbing only
-        one would let XLA hoist the other inputs' entire subgraphs out of
-        the fori_loop as loop-invariant (observed: the AU stream vanished
-        from the measurement when only the video tensor was perturbed)."""
-        arrays = tuple(jax.device_put(a) for a in arrays)
-
-        def make(K):
-            @jax.jit
-            def chain(ars, i):
-                f0 = 1.0 + i.astype(jnp.float32) * 1e-6
-                ars = tuple(a * f0.astype(a.dtype) for a in ars)
-
-                def body(_, carry):
-                    xs, acc = carry
-                    s = apply_fn(*xs)
-                    f = 1.0 + s * 1e-38
-                    xs = tuple(
-                        (a.astype(jnp.float32) * f).astype(a.dtype) for a in xs
-                    )
-                    return xs, acc + s
-
-                _, acc = jax.lax.fori_loop(0, K, body, (ars, jnp.float32(0.0)))
-                return acc
-
-            return lambda i: chain(arrays, jnp.int32(i))
-
-        ta = timed(make(args.ka), args.iters)
-        tb = timed(make(args.kb), args.iters)
-        return (tb - ta) / (args.kb - args.ka)
+        return chained_device_time(
+            apply_fn, arrays, ka=args.ka, kb=args.kb, iters=args.iters
+        )
 
     if "au_face" in args.which:
         params, state = au_face_detector_init(jax.random.PRNGKey(0), num_aus=A)
@@ -193,8 +160,8 @@ def main():
             ars = tuple(jax.device_put(x) for x in (vids, aus, mask))
             return lambda i: chain(carry0, ars, jnp.int32(i))
 
-        ta = timed(make(args.ka), args.iters)
-        tb = timed(make(args.kb), args.iters)
+        ta = timed_best(make(args.ka), args.iters)
+        tb = timed_best(make(args.kb), args.iters)
         dev = (tb - ta) / (args.kb - args.ka)
         record.update(
             au_face_train_step_ms=round(dev * 1e3, 2),

@@ -16,7 +16,6 @@ same input. Probe context: int8 matmul measured 337.8 TOP/s vs bf16
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -88,36 +87,18 @@ def main():
         "hybrid": qtree_hy, "pallas": qtree_dw,
     }
 
-    def make_chain(net, tree, K):
-        @jax.jit
-        def chain(p, xin, i):
-            h = xin * (1.0 + i.astype(jnp.float32) * 1e-6).astype(xin.dtype)
+    import os as _os
 
-            def body(_, carry):
-                h, acc = carry
-                s = jnp.sum(net(p, h).astype(jnp.float32))
-                h = (h.astype(jnp.float32) * (1.0 + s * 1e-38)).astype(xin.dtype)
-                return h, acc + s
-
-            _, acc = jax.lax.fori_loop(0, K, body, (h, jnp.float32(0.0)))
-            return acc
-
-        return lambda i: chain(tree, x, jnp.int32(i))
-
-    def timed(fn, iters):
-        float(fn(999_999))
-        best = float("inf")
-        for i in range(iters):
-            t0 = time.perf_counter()
-            float(fn(i))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from chainedk import chained_device_time
 
     record = {"batch": args.batch}
     for name in args.which.split(","):
-        ta = timed(make_chain(nets[name], trees[name], args.ka), args.iters)
-        tb = timed(make_chain(nets[name], trees[name], args.kb), args.iters)
-        dev = (tb - ta) / (args.kb - args.ka)
+        net, tree = nets[name], trees[name]
+        dev = chained_device_time(
+            lambda h, _net=net, _tree=tree: jnp.sum(_net(_tree, h).astype(jnp.float32)),
+            (x,), ka=args.ka, kb=args.kb, iters=args.iters,
+        )
         record[f"{name}_ms"] = round(dev * 1e3, 2)
         record[f"{name}_frames_per_sec"] = round(args.batch / dev, 1)
         print(f"{name}: {dev * 1e3:.2f} ms/batch = {args.batch / dev:.1f} frames/s", flush=True)
