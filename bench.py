@@ -206,7 +206,7 @@ def main():
         # (models/quant.py — int8 weights + static activation scales, int8
         # depthwise so the bandwidth-bound entry blocks move half the bytes,
         # middle flow through the int8-pointwise pos Pallas kernel; best of
-        # the four quant configs measured in PERF.md r3: 30.9 ms vs int8dw
+        # the four quant configs measured in PERF.md r3: 29.6 ms vs int8dw
         # XLA 35.8 / fp 36.8 at B=256). NOT the headline: quantized scores
         # match fp only to calibration tolerance (feature cos ~0.9999
         # measured), so the exact-semantics fp number above remains `value`.

@@ -148,7 +148,7 @@ class VisualScorer(_ShardedScoringMixin):
         on v5e), ``"w8a8-hybrid"`` (int8 entry/exit + the bf16 Pallas pos
         middle flow; 32.9 ms), or ``"w8a8-pallas"`` (int8 entry/exit + the
         int8-pointwise Pallas pos middle kernel — the MXU runs int8 at 2x
-        the bf16 rate; 30.9 ms = 8,288 frames/s, all at feature cos 0.9999
+        the bf16 rate; 29.6 ms = 8,651 frames/s, all at feature cos 0.9999
         — PERF.md r3). Requires a calibration batch: call
         :meth:`calibrate` first, else the first scored batch calibrates
         implicitly. The fp path stays the default — quantization changes

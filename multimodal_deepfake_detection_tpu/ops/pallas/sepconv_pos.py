@@ -189,7 +189,7 @@ def _pos_q_kernel(
 @partial(jax.jit, static_argnames=("interpret", "batch_tile", "pos_chunks"))
 def middle_block_pos_pallas_w8(
     xp, dw, pw_q, s_w, s_in, b, *, interpret: bool = False, batch_tile: int = 8,
-    pos_chunks: int = 8,
+    pos_chunks: int = 4,
 ):
     """int8-pointwise fused middle-flow block on position-major activations.
 
@@ -210,6 +210,12 @@ def middle_block_pos_pallas_w8(
         s_w: (reps, C) fp32 per-output-channel weight scales.
         s_in: (reps,) fp32 static activation scales at each pointwise input.
         b: (reps, C) fp32 folded-BN biases.
+
+    ``pos_chunks`` defaults to 4 here (vs the fp kernel's 8): the int8 MXU
+    prefers the larger matmul M (CH*BT = 512 rows) — measured 1.49 vs
+    1.64 ms/block at NCH=8 in the chained sweep (PERF.md r3), while the fp
+    kernel measures best at 8 (1.82 vs 1.84). The fp32 tap-accumulator
+    stack temp at NCH=4 fits inside the raised 40 MB scoped-VMEM budget.
     """
     HW, B, C = xp.shape
     reps = dw.shape[0]
