@@ -32,7 +32,9 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--ka", type=int, default=2)
     p.add_argument("--kb", type=int, default=8)
-    p.add_argument("--which", default="au_face,au_patch")
+    p.add_argument("--which", default="au_face,au_patch,audio")
+    p.add_argument("--audio_batch", type=int, default=64)
+    p.add_argument("--audio_seconds", type=float, default=1.0)
     p.add_argument(
         "--train", action="store_true",
         help="also measure the au_face full train step (fwd+bwd+Adam, live BN)",
@@ -113,6 +115,36 @@ def main():
             au_patch_clips_per_sec=round(B / dev, 1),
         )
         print(f"au_patch: {dev * 1e3:.2f} ms/batch = {B / dev:.1f} clips/s", flush=True)
+
+    if "audio" in args.which:
+        # the audio serving forward exactly as AudioScorer jits it: raw
+        # waveforms -> on-device MFCC -> channel-triple -> 64^2 bilinear ->
+        # folded Xception (Pallas pos middle on TPU) -> LSTM head
+        from multimodal_deepfake_detection_tpu.models.heads import xception_lstm_init
+        from multimodal_deepfake_detection_tpu.models.serve import AudioScorer
+
+        ap, abn = xception_lstm_init(jax.random.PRNGKey(2), 512)
+        sc = AudioScorer(ap, abn)
+        Ba = args.audio_batch
+        L = int(args.audio_seconds * sc.mfcc_kw["sr"])
+        waves = jnp.asarray(
+            np.sin(np.linspace(0, 70 * Ba, Ba * L)).reshape(Ba, L), jnp.float32
+        )
+        backbone, head = sc.folded_backbone, sc.head_params
+
+        def au(w):
+            return jnp.sum(
+                sc._score_impl(backbone, head, w, None, centered=True).astype(jnp.float32)
+            )
+
+        dev = chainer(au, waves)
+        record.update(
+            audio_ms=round(dev * 1e3, 2),
+            audio_clips_per_sec=round(Ba / dev, 1),
+            audio_seconds=args.audio_seconds,
+        )
+        print(f"audio ({args.audio_seconds:.1f}s clips): {dev * 1e3:.2f} ms/batch-{Ba} "
+              f"= {Ba / dev:.1f} clips/s", flush=True)
 
     if args.train and "au_face" in args.which:
         import optax
