@@ -46,13 +46,24 @@ def hybrid_mesh(
     from jax.experimental import mesh_utils
 
     devices = jax.devices()
-    n_slices = dcn_data or (getattr(devices[0], "slice_index", None) is not None and
-                            len({getattr(d, "slice_index", 0) for d in devices})) or 1
+    # DCN granule: TPU slices when slice_index actually partitions the device
+    # set, host processes otherwise (multi-host CPU/GPU-style clusters, where
+    # every device reports slice_index 0) — matching mesh_utils' granule
+    # notion (process_is_granule).
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    n_slices_attr = len(slice_ids) if None not in slice_ids else 0
+    if dcn_data:
+        n_slices = dcn_data
+    elif n_slices_attr > 1:
+        n_slices = n_slices_attr
+    else:
+        n_slices = jax.process_count()
     if n_slices <= 1:
         return Mesh(np.array(devices).reshape(1, len(devices)), tuple(axis_names))
     mesh_devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(1, len(devices) // n_slices),
         dcn_mesh_shape=(n_slices, 1),
         devices=devices,
+        process_is_granule=(n_slices_attr != n_slices),
     )
     return Mesh(mesh_devices, tuple(axis_names))
