@@ -78,6 +78,10 @@ class Config:
     remat: bool = False
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
     tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
+    # threaded decode fan-out per batch (reference num_workers=2,
+    # /root/reference/train_visual.py:545-546); the lever for the
+    # codec-bound raw-video path (PERF.md)
+    num_workers: int = 0
     ckpt_backend: str = "npz"  # 'npz' | 'orbax' (versioned, preemption-safe)
     resume: Optional[str] = None  # npz path, or 'auto' with ckpt_backend=orbax
     save_resume_state: bool = True
@@ -98,6 +102,7 @@ def build(config: Config, train_ds=None, eval_ds=None):
             max_frames=config.max_frames,
             buckets=config.buckets,
             seed=config.seed,
+            num_workers=config.num_workers,
         )
         train_loader = get_face_dataloader(
             config.train_folder,

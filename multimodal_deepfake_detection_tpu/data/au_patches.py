@@ -277,7 +277,8 @@ def get_patch_image_loaders(
     Full call-site contract (/root/reference/train_au_patch.py:186-196,
     test_au_patch.py:438-449, dead train_au_patch.py:365-375). Unknown kwargs
     raise — nothing is silently dropped. ``num_workers`` maps onto the
-    background prefetch depth of the threaded loader.
+    background prefetch depth of the threaded loader and fans item loads
+    (npy reads + resize) over that many threads per batch.
     """
     if mode not in ("fakeavceleb", "lavdf"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -316,6 +317,7 @@ def get_patch_image_loaders(
             shuffle=shuffle,
             seed=seed,
             prefetch=prefetch,
+            item_workers=num_workers,
             collate=lambda items: au_patch_collate(
                 items, buckets=buckets, max_aus=max_aus, batch_size=batch_size
             ),
@@ -485,7 +487,8 @@ def get_joint_dataloader(
                 return videos, patches, labels, lengths
 
         return DataLoader(
-            ds, batch_size, shuffle=do_shuffle, seed=seed, prefetch=prefetch, collate=collate
+            ds, batch_size, shuffle=do_shuffle, seed=seed, prefetch=prefetch,
+            item_workers=num_workers, collate=collate
         )
 
     return make("train", shuffle), make("test", False), make("eval", False)

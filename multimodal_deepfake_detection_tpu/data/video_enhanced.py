@@ -225,8 +225,15 @@ def get_face_dataloader(
     max_frames: int = 50,
     buckets: Optional[Sequence[int]] = None,
     seed: int = 0,
+    num_workers: int = 0,
 ) -> DataLoader:
-    """The D2 entry point; yields (video_batch, labels, seq_lengths)."""
+    """The D2 entry point; yields (video_batch, labels, seq_lengths).
+
+    ``num_workers`` (the reference's torch-DataLoader knob,
+    /root/reference/train_visual.py:545-546) maps onto threaded decode
+    fan-out: a batch's clips are decoded concurrently (cv2 and the native
+    engines release the GIL), which is the scaling lever for the
+    codec-bound raw-video path (PERF.md "native H.264 decode finding")."""
     ds = EnhancedVideoDataset(
         folder_path,
         mode=mode,
@@ -248,4 +255,5 @@ def get_face_dataloader(
         shuffle=shuffle,
         seed=seed,
         collate=lambda items: pad_collate(items, buckets=buckets, batch_size=batch_size),
+        item_workers=num_workers,
     )

@@ -341,14 +341,52 @@ class AudioScorer(_ShardedScoringMixin):
             compute_dtype=self.compute_dtype,
         )[:, 0]
 
-    def score(self, waveforms: np.ndarray, frame_lengths: Optional[np.ndarray] = None) -> np.ndarray:
-        """waveforms: (B, samples) float -> fake probabilities (B,)."""
+    def score(
+        self,
+        waveforms: np.ndarray,
+        frame_lengths: Optional[np.ndarray] = None,
+        sample_lengths: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """waveforms: (B, samples) float -> fake probabilities (B,).
+
+        ``sample_lengths`` (B,) marks each row's true waveform length when the
+        batch mixes clips of different durations (rows zero-padded to a common
+        sample axis, e.g. by a batching server): each row is reflect-centered
+        HOST-side on its OWN true length (librosa semantics) and its MFCC
+        frames beyond ``1 + len//hop`` are masked, so per-row scores are
+        bit-identical to scoring that clip alone. Without it, a batch is
+        treated as uniform-length (the true signal is every row's full axis).
+        """
         if self.quantize is not None and self._qbackbone is None:
             self.calibrate(waveforms)  # implicit first-batch calibration
         B, L = waveforms.shape[:2]
         score_fn = self._score
-        if self.sample_buckets:
-            n_fft, hop = self.mfcc_kw["n_fft"], self.mfcc_kw["hop_length"]
+        n_fft, hop = self.mfcc_kw["n_fft"], self.mfcc_kw["hop_length"]
+        if sample_lengths is not None:
+            # Mixed-length batch: per-row centering on the true signal, then a
+            # shared zero-padded sample axis framed uncentered on device.
+            sample_lengths = np.asarray(sample_lengths, np.int64)
+            if sample_lengths.shape != (B,):
+                raise ValueError(f"sample_lengths must be ({B},), got {sample_lengths.shape}")
+            Lb = bucket_length(L, self.sample_buckets) if self.sample_buckets else L
+            if Lb < L:  # longer than the largest bucket: truncate
+                waveforms, L = waveforms[:, :Lb], Lb
+                sample_lengths = np.minimum(sample_lengths, Lb)
+            if np.any(sample_lengths <= n_fft // 2):
+                raise ValueError(
+                    f"every sample_length must exceed n_fft//2 = {n_fft // 2} "
+                    "for reflect centering (librosa constraint)"
+                )
+            half = n_fft // 2
+            centered = np.zeros((B, Lb + 2 * half), np.float32)
+            wf = np.asarray(waveforms, np.float32)
+            for i, Li in enumerate(sample_lengths):
+                centered[i, : Li + 2 * half] = np.pad(wf[i, :Li], (half, half), mode="reflect")
+            n_valid = (1 + sample_lengths // hop).astype(np.int32)
+            frame_lengths = n_valid if frame_lengths is None else np.minimum(frame_lengths, n_valid)
+            waveforms = centered
+            score_fn = self._score_uncentered
+        elif self.sample_buckets:
             Lb = bucket_length(L, self.sample_buckets)
             if Lb < L:  # longer than the largest bucket: truncate
                 waveforms, L = waveforms[:, :Lb], Lb
@@ -707,13 +745,16 @@ class AVScorer:
         waveforms: np.ndarray,
         lengths: Optional[np.ndarray] = None,
         frame_lengths: Optional[np.ndarray] = None,
+        sample_lengths: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """(B, T, H, W, 3) uint8 frames + (B, samples) float waveforms of the
-        SAME B clips -> fused fake probabilities (B,)."""
+        SAME B clips -> fused fake probabilities (B,). ``sample_lengths``
+        marks per-row true waveform lengths for mixed-duration batches (see
+        :meth:`AudioScorer.score`)."""
         if frames_u8.shape[0] != waveforms.shape[0]:
             raise ValueError(
                 f"paired modalities must share B: {frames_u8.shape[0]} vs {waveforms.shape[0]}"
             )
         p_v = self.visual.score(frames_u8, lengths)
-        p_a = self.audio.score(waveforms, frame_lengths)
+        p_a = self.audio.score(waveforms, frame_lengths, sample_lengths=sample_lengths)
         return self.alpha * p_v + (1.0 - self.alpha) * p_a

@@ -1,0 +1,253 @@
+"""Online serving: micro-batcher semantics + the HTTP daemon end-to-end.
+
+The reference has no serving surface (offline eval loops only,
+/root/reference/test_visual.py:572-646); these pin the beyond-parity
+contract of serving/: coalesced micro-batches are EXACT vs solo scoring,
+the jitted-program set stays bounded under mixed traffic (the TPU-side
+point of batch/time bucketing), and the daemon speaks JSON + npz.
+"""
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
+from multimodal_deepfake_detection_tpu.models.serve import AudioScorer, VisualScorer
+from multimodal_deepfake_detection_tpu.serving import (
+    AUPatchAdapter,
+    AudioAdapter,
+    MicroBatcher,
+    ServingDaemon,
+    VisualAdapter,
+)
+from multimodal_deepfake_detection_tpu.serving.batcher import EngineAdapter
+
+RNG = np.random.default_rng(0)
+
+
+class _FakeAdapter(EngineAdapter):
+    """Sums each item's array; records batch shapes. No JAX involved."""
+
+    name = "fake"
+    fields = {"x": (np.float32, 1)}
+
+    def __init__(self, fail_on_nan: bool = False):
+        self.batches = []  # (n_items, pad_to, shape_key)
+        self.fail_on_nan = fail_on_nan
+        self._lock = threading.Lock()
+
+    def shape_key(self, item):
+        return item["x"].shape
+
+    def run(self, items, pad_to):
+        with self._lock:
+            self.batches.append((len(items), pad_to, items[0]["x"].shape))
+        out = np.array([float(it["x"].sum()) for it in items])
+        if self.fail_on_nan and np.any(np.isnan(out)):
+            raise RuntimeError("poison item")
+        time.sleep(0.01)  # give later submits a chance to coalesce
+        return out
+
+
+def test_microbatcher_coalesces_and_is_exact():
+    ad = _FakeAdapter()
+    with MicroBatcher(ad, max_batch=8, max_wait_ms=150) as mb:
+        xs = [RNG.normal(size=5).astype(np.float32) for _ in range(12)]
+        futs = [mb.submit(x=x) for x in xs]
+        got = [f.result(timeout=10) for f in futs]
+    np.testing.assert_allclose(got, [float(x.sum()) for x in xs], rtol=1e-6)
+    # 12 same-shape requests submitted within the wait window must coalesce
+    assert len(ad.batches) < 12
+    assert sum(n for n, _, _ in ad.batches) == 12
+    assert all(n <= 8 for n, _, _ in ad.batches)
+    st = mb.stats()
+    assert st["requests"] == 12 and st["scored"] == 12 and st["errors"] == 0
+    assert st["mean_batch_occupancy"] > 1.0
+
+
+def test_microbatcher_shape_key_isolation_and_bucket_padding():
+    ad = _FakeAdapter()
+    with MicroBatcher(ad, max_batch=8, max_wait_ms=100, batch_buckets=(1, 2, 4, 8)) as mb:
+        futs = [mb.submit(x=RNG.normal(size=s).astype(np.float32)) for s in (3, 3, 3, 7)]
+        for f in futs:
+            f.result(timeout=10)
+    # different shape keys never share a batch
+    for _n, _pad, shape in ad.batches:
+        assert shape in ((3,), (7,))
+    by_key = {shape: n for n, _pad, shape in ad.batches}
+    assert by_key[(3,)] == 3 and by_key[(7,)] == 1
+    # the 3-item group pads up to the 4 bucket, the single to 1
+    pads = {shape: pad for _n, pad, shape in ad.batches}
+    assert pads[(3,)] == 4 and pads[(7,)] == 1
+
+
+def test_microbatcher_error_propagation_keeps_serving():
+    ad = _FakeAdapter(fail_on_nan=True)
+    with MicroBatcher(ad, max_batch=4, max_wait_ms=5) as mb:
+        bad = mb.submit(x=np.array([np.nan], np.float32))
+        with pytest.raises(RuntimeError, match="poison"):
+            bad.result(timeout=10)
+        ok = mb.submit(x=np.array([2.0], np.float32))
+        assert ok.result(timeout=10) == 2.0
+        assert mb.stats()["errors"] == 1
+
+
+def test_microbatcher_validates_payloads():
+    ad = _FakeAdapter()
+    with MicroBatcher(ad, max_batch=2) as mb:
+        with pytest.raises(ValueError, match="missing required"):
+            mb.submit()
+        with pytest.raises(ValueError, match="unknown fields"):
+            mb.submit(x=np.zeros(2, np.float32), y=1)
+        with pytest.raises(ValueError, match="dims"):
+            mb.submit(x=np.zeros((2, 2), np.float32))
+
+
+def test_audio_mixed_sample_lengths_exact():
+    """A zero-padded mixed-duration batch with sample_lengths scores each row
+    bit-identically to scoring that clip alone (per-row librosa centering)."""
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(2), 8)
+    kw = dict(compute_dtype=jnp.float32, use_pallas=False)
+    for buckets in (None, (4800,)):
+        scorer = AudioScorer(params, bn_state, sample_buckets=buckets, **kw)
+        lens = [2400, 3200, 4000]
+        waves = [RNG.normal(0, 0.1, (L,)).astype(np.float32) for L in lens]
+        Lmax = max(lens)
+        batch = np.zeros((len(waves), Lmax), np.float32)
+        for i, w in enumerate(waves):
+            batch[i, : len(w)] = w
+        got = scorer.score(batch, sample_lengths=np.array(lens))
+        solo = AudioScorer(params, bn_state, sample_buckets=buckets, **kw)
+        ref = np.array([solo.score(w[None])[0] for w in waves])
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_audio_sample_lengths_validation():
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(2), 8)
+    scorer = AudioScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    wav = RNG.normal(0, 0.1, (2, 3200)).astype(np.float32)
+    with pytest.raises(ValueError, match="sample_lengths must be"):
+        scorer.score(wav, sample_lengths=np.array([3200]))
+    with pytest.raises(ValueError, match="n_fft"):
+        scorer.score(wav, sample_lengths=np.array([3200, 100]))
+
+
+def _post(url, payload, npz=False, timeout=120):
+    if npz:
+        buf = io.BytesIO()
+        np.savez(buf, **payload)
+        body, ctype = buf.getvalue(), "application/x-npz"
+    else:
+        body = json.dumps({k: np.asarray(v).tolist() for k, v in payload.items()}).encode()
+        ctype = "application/json"
+    req = urllib.request.Request(url, body, {"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_visual_daemon_http_e2e_bounded_compiles():
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(0), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(10), 8, 2)
+    kw = dict(compute_dtype=jnp.float32, use_pallas=False)
+    served = VisualScorer(params, bn_state, buckets=(4, 8), **kw)
+    solo = VisualScorer(params, bn_state, buckets=(4, 8), **kw)
+    mb = MicroBatcher(VisualAdapter(served), max_batch=4, max_wait_ms=60, batch_buckets=(1, 2, 4))
+    clips = [RNG.integers(0, 255, (t, 32, 32, 3), np.uint8) for t in (2, 3, 5, 3, 7, 4)]
+    with ServingDaemon({"visual": mb}, port=0) as d:
+        # health + routing
+        with urllib.request.urlopen(d.url + "/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True, "engines": ["visual"]}
+        code, obj = _post(d.url + "/v1/score/nope", {"frames": clips[0]})
+        assert code == 404 and "unknown engine" in obj["error"]
+        code, obj = _post(d.url + "/v1/score/visual", {"bogus": [1]})
+        assert code == 400
+
+        # concurrent mixed-length traffic, alternating JSON and npz bodies
+        results = [None] * len(clips)
+
+        def call(i):
+            code, obj = _post(d.url + "/v1/score/visual", {"frames": clips[i]}, npz=(i % 2 == 0))
+            results[i] = (code, obj)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(len(clips))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, clip in enumerate(clips):
+            code, obj = results[i]
+            assert code == 200, obj
+            ref = solo.score(clip[None])[0]
+            np.testing.assert_allclose(obj["score"], ref, rtol=1e-4, atol=1e-6)
+
+        with urllib.request.urlopen(d.url + "/v1/stats", timeout=30) as r:
+            st = json.loads(r.read())["engines"]["visual"]
+        assert st["scored"] == len(clips) and st["errors"] == 0
+    # bounded program set: <= |batch buckets| x |time buckets| despite
+    # 4 distinct clip lengths and varying micro-batch sizes
+    assert served._score._cache_size() <= 3 * 2
+
+
+def test_daemon_warmup_precompiles_the_grid():
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(1), 8)
+    params["arcface"] = arcface_init(jax.random.PRNGKey(11), 8, 2)
+    scorer = VisualScorer(
+        params, bn_state, buckets=(4,), compute_dtype=jnp.float32, use_pallas=False
+    )
+    mb = MicroBatcher(VisualAdapter(scorer), max_batch=2, max_wait_ms=5, batch_buckets=(1, 2))
+    with ServingDaemon({"visual": mb}, port=0) as d:
+        d.warmup("visual", frames=np.zeros((3, 32, 32, 3), np.uint8))
+        n_after_warmup = scorer._score._cache_size()
+        assert n_after_warmup == 2  # one program per batch bucket
+        code, obj = _post(
+            d.url + "/v1/score/visual",
+            {"frames": RNG.integers(0, 255, (2, 32, 32, 3), np.uint8)},
+        )
+        assert code == 200
+    assert scorer._score._cache_size() == n_after_warmup  # traffic adds none
+
+
+def test_au_patch_adapter_exact_vs_direct():
+    from multimodal_deepfake_detection_tpu.models.resnet_lstm import au_patch_classifier_init
+    from multimodal_deepfake_detection_tpu.models.serve import AUPatchScorer
+
+    params, bn_state = au_patch_classifier_init(jax.random.PRNGKey(3), hidden_dim=8, lstm_hidden=4)
+    scorer = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32)
+    items = []
+    for t in (2, 3):
+        items.append(
+            {
+                "patches": RNG.integers(0, 255, (t, 3, 8, 8, 3), np.uint8),
+                "weights": RNG.random((t, 3)).astype(np.float32),
+            }
+        )
+    with MicroBatcher(AUPatchAdapter(scorer), max_batch=2, max_wait_ms=100) as mb:
+        futs = [mb.submit(**it) for it in items]
+        got = [f.result(timeout=60) for f in futs]
+    solo = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32)
+    for it, g in zip(items, got):
+        ref = solo.score(it["patches"][None], it["weights"][None])[0]
+        np.testing.assert_allclose(g, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_audio_adapter_exact_vs_direct():
+    params, bn_state = xception_lstm_init(jax.random.PRNGKey(4), 8)
+    kw = dict(compute_dtype=jnp.float32, use_pallas=False)
+    scorer = AudioScorer(params, bn_state, sample_buckets=(4800,), **kw)
+    waves = [RNG.normal(0, 0.1, (L,)).astype(np.float32) for L in (2400, 4000)]
+    with MicroBatcher(AudioAdapter(scorer), max_batch=2, max_wait_ms=100) as mb:
+        futs = [mb.submit(waveform=w) for w in waves]
+        got = [f.result(timeout=60) for f in futs]
+    solo = AudioScorer(params, bn_state, sample_buckets=(4800,), **kw)
+    for w, g in zip(waves, got):
+        np.testing.assert_allclose(g, solo.score(w[None])[0], rtol=1e-4, atol=1e-6)

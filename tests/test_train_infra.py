@@ -197,3 +197,31 @@ def test_remat_grads_match_baseline():
         b = np.asarray(b, np.float64)
         rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
         assert rel < 5e-2, f"relative L2 gradient error {rel:.4f} under remat"
+
+
+def test_item_workers_fanout_is_bit_identical(tmp_path):
+    """Threaded decode fan-out (item_workers>0) must reproduce the serial
+    loader's batches exactly — order preserved, same collate output."""
+    root = make_face_npy_tree(str(tmp_path / "fw"), n_per_class=6, frames=3, size=8)
+    ds = NpyFolderDataset(root + "/train", kind="video")
+    serial = DataLoader(ds, 4, shuffle=True, seed=7, buckets=(3,), prefetch=0)
+    fanned = DataLoader(ds, 4, shuffle=True, seed=7, buckets=(3,), prefetch=0, item_workers=4)
+    for (xa, ya, la), (xb, yb, lb) in zip(serial, fanned, strict=True):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_item_workers_propagates_exceptions(tmp_path):
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("corrupt item")
+            return np.zeros((2, 4, 4, 3), np.float32), 0
+
+    loader = DataLoader(Boom(), 4, prefetch=0, item_workers=2, buckets=(2,))
+    with pytest.raises(OSError, match="corrupt item"):
+        next(iter(loader))
