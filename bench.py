@@ -182,11 +182,16 @@ def main():
             return lambda i: chain(weights, x, jnp.int32(i))
 
         def timed(fn, iters=6):
+            # best-of per call: relay RPC noise is strictly additive on top of
+            # the deterministic device time, so min is the unbiased estimator
+            # here (a single noisy window skewed a 6-call average by +40%)
             float(fn(999_999))
-            t0 = time.perf_counter()
-            vals = [fn(i) for i in range(iters)]
-            _ = sum(float(v) for v in vals)
-            return (time.perf_counter() - t0) / iters
+            best = float("inf")
+            for i in range(iters):
+                t0 = time.perf_counter()
+                float(fn(i))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
         ka, kb = 2, 6
         device_s = (timed(make_chain(kb)) - timed(make_chain(ka))) / (kb - ka)
@@ -289,12 +294,14 @@ def main():
             yt = jnp.asarray(np.arange(tb) % 2, jnp.float32)
             state0 = TrainState(0, params, state, tx.init(params), None)
 
-            def timed(fn, iters=6):  # local: the mfu block's timed is optional
+            def timed(fn, iters=6):  # best-of per call (see the mfu block)
                 float(fn(999_999))
-                t0 = time.perf_counter()
-                vals = [fn(i) for i in range(iters)]
-                _ = sum(float(v) for v in vals)
-                return (time.perf_counter() - t0) / iters
+                best = float("inf")
+                for i in range(iters):
+                    t0 = time.perf_counter()
+                    float(fn(i))
+                    best = min(best, time.perf_counter() - t0)
+                return best
 
             def make_tchain(K):
                 @jax.jit
