@@ -19,7 +19,10 @@ Replay:
     probs = prog.call(frames_u8, lengths)
 
 With ``--quantize`` and ``--calib_npy`` (a representative input batch), the
-artifact bakes the w8a8 backbone (int8 weights + calibrated scales).
+artifact bakes the w8a8 backbone (int8 weights + calibrated scales);
+``--refine_passes N`` additionally applies the closed-form per-channel affine
+refinement on the calibration batch (visual/audio engines), shrinking PTQ's
+error at zero serving cost before the weights are frozen into the artifact.
 """
 from __future__ import annotations
 
@@ -53,6 +56,7 @@ class Config:
     platforms: Tuple[str, ...] = ()  # e.g. ("tpu",) or ("cpu","tpu"); () = current
     quantize: str = ""  # "" | w8a8 | w8a8-hybrid | w8a8-pallas (visual; others w8a8)
     calib_npy: str = ""  # representative batch for --quantize calibration
+    refine_passes: int = 0  # >0: affine PTQ refinement on the calib batch (visual/audio)
 
 
 def main(argv=None, *, log=print):
@@ -74,6 +78,11 @@ def main(argv=None, *, log=print):
     calib = np.load(cfg.calib_npy) if cfg.calib_npy else None
     if cfg.quantize and calib is None:
         raise ValueError("--quantize requires --calib_npy (a representative input batch)")
+    if cfg.refine_passes and cfg.engine not in ("visual", "audio"):
+        raise ValueError("--refine_passes is implemented for the Xception engines (visual/audio)")
+    if cfg.refine_passes and not cfg.quantize:
+        raise ValueError("--refine_passes refines a quantized backbone; set --quantize too")
+    refine = dict(refine_passes=cfg.refine_passes)
 
     if cfg.engine == "visual":
         scorer = S.VisualScorer.from_bundle(
@@ -81,7 +90,7 @@ def main(argv=None, *, log=print):
             mask_padding=cfg.mask_padding, **common,
         )
         if calib is not None:
-            scorer.calibrate(calib)
+            scorer.calibrate(calib, **refine)
         blob = E.export_visual(
             scorer, T=cfg.frames, H=cfg.size, W=cfg.size, batch=batch, platforms=platforms
         )
@@ -91,7 +100,7 @@ def main(argv=None, *, log=print):
             mask_padding=cfg.mask_padding, **common,
         )
         if calib is not None:
-            scorer.calibrate(calib)
+            scorer.calibrate(calib, **refine)
         blob = E.export_audio(scorer, cfg.num_samples, batch=batch, platforms=platforms)
     elif cfg.engine == "au_face":
         scorer = S.AUFaceScorer.from_bundle(

@@ -180,13 +180,16 @@ class VisualScorer(_ShardedScoringMixin):
             x = resize_bilinear(x, self.frame_size)
         return x
 
-    def calibrate(self, frames_u8: np.ndarray) -> None:
+    def calibrate(self, frames_u8: np.ndarray, *, refine_passes: int = 0) -> None:
         """Fit w8a8 activation scales on a representative uint8 frame batch
         and switch the backbone to the quantized tree (no-op when
-        ``quantize=None``)."""
+        ``quantize=None``). ``refine_passes > 0`` additionally applies the
+        closed-form per-channel affine refinement
+        (models/quant.py::refine_quantized_xception) on the same frames —
+        recovers part of PTQ's error at zero serving cost."""
         if self.quantize is None:
             return
-        from .quant import calibrate_amax, quantize_folded_xception
+        from .quant import calibrate_amax, quantize_folded_xception, refine_quantized_xception
 
         x = self._frames_to_x(np.asarray(frames_u8))
         amaxes = calibrate_amax(self.folded_backbone, x, compute_dtype=self.compute_dtype)
@@ -196,6 +199,11 @@ class VisualScorer(_ShardedScoringMixin):
             quant_depthwise=True,
             skip_middle=(self.quantize == "w8a8-hybrid"),
         )
+        if refine_passes:
+            qtree = refine_quantized_xception(
+                qtree, self.folded_backbone, x, passes=refine_passes,
+                compute_dtype=self.compute_dtype,
+            )
         self._qbackbone = (
             replicate(self.mesh, qtree) if self.mesh is not None else jax.device_put(qtree)
         )
@@ -301,12 +309,14 @@ class AudioScorer(_ShardedScoringMixin):
         imgs = resize_bilinear(imgs, (64, 64))
         return imgs, B, T
 
-    def calibrate(self, waveforms: np.ndarray) -> None:
+    def calibrate(self, waveforms: np.ndarray, *, refine_passes: int = 0) -> None:
         """Fit w8a8 activation scales on a representative waveform batch
-        (no-op when ``quantize=None``)."""
+        (no-op when ``quantize=None``). ``refine_passes > 0`` applies the
+        closed-form per-channel affine refinement on the derived MFCC images
+        (see VisualScorer.calibrate)."""
         if self.quantize is None:
             return
-        from .quant import calibrate_amax, quantize_folded_xception
+        from .quant import calibrate_amax, quantize_folded_xception, refine_quantized_xception
 
         imgs = jax.jit(lambda w: self._wave_to_imgs(w, centered=True)[0])(
             jnp.asarray(waveforms, jnp.float32)
@@ -316,6 +326,11 @@ class AudioScorer(_ShardedScoringMixin):
             self.folded_backbone, amaxes, quant_depthwise=True,
             skip_middle=(self.quantize == "w8a8-hybrid"),
         )
+        if refine_passes:
+            qtree = refine_quantized_xception(
+                qtree, self.folded_backbone, imgs, passes=refine_passes,
+                compute_dtype=self.compute_dtype,
+            )
         self._qbackbone = (
             replicate(self.mesh, qtree) if self.mesh is not None else jax.device_put(qtree)
         )

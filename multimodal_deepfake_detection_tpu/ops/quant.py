@@ -22,9 +22,12 @@ Scheme (standard symmetric PTQ):
   3x3x728 dot products of +/-127 values stay far inside int32), then one
   fused dequant epilogue ``y_f32 = y_i32 * (s_in * s_w) + b``.
 
-Only MXU-bound convs are quantized (regular + pointwise). Depthwise convs
-stay bf16: they are VPU-bound (no int8 speedup) and contribute ~3% of
-FLOPs, and keeping them fp halves the quantization depth per block.
+MXU-bound convs (regular + pointwise) are always quantized. Depthwise 3x3s
+are VPU-bound (no int8 compute speedup, ~3% of FLOPs) but quantizing them
+too (``depthwise_conv2d_w8a8``, the shipped ``quant_depthwise=True`` default)
+keeps the activation chain int8 end-to-end through each sepconv unit, halving
+the HBM traffic of the bandwidth-bound entry blocks — measured faster
+(PERF.md round-3 w8a8 section).
 """
 from __future__ import annotations
 
