@@ -21,8 +21,9 @@ Replay:
 With ``--quantize`` and ``--calib_npy`` (a representative input batch), the
 artifact bakes the w8a8 backbone (int8 weights + calibrated scales);
 ``--refine_passes N`` additionally applies the closed-form per-channel affine
-refinement on the calibration batch (visual/audio engines), shrinking PTQ's
-error at zero serving cost before the weights are frozen into the artifact.
+refinement on the calibration batch (visual/audio/au_patch engines),
+shrinking PTQ's error at zero serving cost before the weights are frozen
+into the artifact.
 """
 from __future__ import annotations
 
@@ -56,7 +57,7 @@ class Config:
     platforms: Tuple[str, ...] = ()  # e.g. ("tpu",) or ("cpu","tpu"); () = current
     quantize: str = ""  # "" | w8a8 | w8a8-hybrid | w8a8-pallas (visual; others w8a8)
     calib_npy: str = ""  # representative batch for --quantize calibration
-    refine_passes: int = 0  # >0: affine PTQ refinement on the calib batch (visual/audio)
+    refine_passes: int = 0  # >0: affine PTQ refinement on the calib batch (visual/audio/au_patch)
 
 
 def main(argv=None, *, log=print):
@@ -78,8 +79,10 @@ def main(argv=None, *, log=print):
     calib = np.load(cfg.calib_npy) if cfg.calib_npy else None
     if cfg.quantize and calib is None:
         raise ValueError("--quantize requires --calib_npy (a representative input batch)")
-    if cfg.refine_passes and cfg.engine not in ("visual", "audio"):
-        raise ValueError("--refine_passes is implemented for the Xception engines (visual/audio)")
+    if cfg.refine_passes and cfg.engine not in ("visual", "audio", "au_patch"):
+        raise ValueError(
+            "--refine_passes needs a single-input calibratable engine (visual/audio/au_patch)"
+        )
     if cfg.refine_passes and not cfg.quantize:
         raise ValueError("--refine_passes refines a quantized backbone; set --quantize too")
     refine = dict(refine_passes=cfg.refine_passes)
@@ -134,7 +137,7 @@ def main(argv=None, *, log=print):
             lstm_hidden=cfg.patch_lstm_hidden, mask_padding=cfg.mask_padding, **common,
         )
         if calib is not None:
-            scorer.calibrate(calib)
+            scorer.calibrate(calib, **refine)
         blob = E.export_au_patch(
             scorer, T=cfg.au_frames, A=cfg.num_aus,
             patch_hw=(cfg.patch_size, cfg.patch_size), batch=batch, platforms=platforms,

@@ -410,11 +410,25 @@ def refine_quantized_xception(
     tree (inputs untouched). No reference counterpart (the reference has no
     quantization, /root/reference/Xception.py) — beyond-parity capability.
     """
+    walk = partial(xception_quant_walk, features_only=True)
+    return _refine_tree(
+        qtree, folded_params, calib_x, walk=walk,
+        sites=_sites(folded_params, depthwise=True), output_sites=output_sites,
+        passes=passes, shrink_n0=shrink_n0, compute_dtype=compute_dtype, log=log,
+    )
+
+
+def _refine_tree(
+    qtree, folded_params, calib_x, *, walk, sites, output_sites,
+    passes, shrink_n0, compute_dtype, log,
+):
+    """Backbone-agnostic core of the affine refinement (see
+    :func:`refine_quantized_xception` for the scheme and its measured
+    rationale). ``walk(tree, x, quant=, compute_dtype=, tap=, shadow=)`` must
+    support the tap/shadow hooks; ``sites`` is the walk-order site iterable.
+    """
     qtree = jax.tree_util.tree_map(lambda a: a, qtree)  # fresh containers
-    qsites = [
-        s for s in _sites(folded_params, depthwise=True)
-        if "w_q" in _resolve_site(qtree, s)
-    ]
+    qsites = [s for s in sites if "w_q" in _resolve_site(qtree, s)]
     qset = set(qsites)
     nsamp = {}
 
@@ -437,18 +451,15 @@ def refine_quantized_xception(
             if site in qset:
                 _mom(site, y_q, y_f, mom)
 
-        xception_quant_walk(
-            fp, x, quant=False, compute_dtype=compute_dtype,
-            features_only=True, tap=tap, shadow=qt,
-        )
+        walk(fp, x, quant=False, compute_dtype=compute_dtype, tap=tap, shadow=qt)
         return mom
 
     @jax.jit
     def paired_moments(qt, fp, x):
         fp_taps = {}
-        xception_quant_walk(
+        walk(
             fp, x, quant=False, compute_dtype=compute_dtype,
-            features_only=True, tap=lambda s, v: fp_taps.__setitem__(s, v),
+            tap=lambda s, v: fp_taps.__setitem__(s, v),
         )
         mom = {}
 
@@ -456,10 +467,7 @@ def refine_quantized_xception(
             if site in qset:
                 _mom(site, v, fp_taps[site], mom)
 
-        xception_quant_walk(
-            qt, x, quant=True, compute_dtype=compute_dtype,
-            features_only=True, tap=qtap,
-        )
+        walk(qt, x, quant=True, compute_dtype=compute_dtype, tap=qtap)
         return mom
 
     def apply(site, node):
@@ -490,23 +498,42 @@ def refine_quantized_xception(
 
 
 def resnet18_quant_walk(
-    params, x, *, quant: bool = False, observe: bool = False, compute_dtype=jnp.bfloat16
+    params, x, *, quant: bool = False, observe: bool = False,
+    compute_dtype=jnp.bfloat16, tap=None, shadow=None,
 ):
     """Shared structural forward over a folded (fold.fold_resnet18_bn) or
     quantized ResNet-18 tree; fp mode equals fold.folded_resnet18_apply
     (pinned in tests/test_quant.py). Every conv is a regular MXU conv, so all
     are quantized — the activation chain stays int8 end-to-end between the
-    relu/pool/residual seams."""
+    relu/pool/residual seams.
+
+    ``tap``/``shadow``: the same refinement hooks as
+    :func:`xception_quant_walk` (conv outputs per site; shadow applies the
+    second tree's node to the same input and taps the pair)."""
     from .resnet import RESNET18_STAGES
 
+    if shadow is not None and tap is None:
+        raise ValueError("shadow= needs a tap= to report the paired outputs to")
     obs = {} if observe else None
 
     def reg(site, p, h, stride, padding):
         if obs is not None:
             obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)))
         if quant and "w_q" in p:
-            return conv2d_w8a8(p, h, stride=stride, padding=padding, out_dtype=compute_dtype)
-        return conv2d(p, h, stride=stride, padding=padding, compute_dtype=compute_dtype)
+            y = conv2d_w8a8(p, h, stride=stride, padding=padding, out_dtype=compute_dtype)
+        else:
+            y = conv2d(p, h, stride=stride, padding=padding, compute_dtype=compute_dtype)
+        if tap is not None:
+            if shadow is None:
+                tap(site, y)
+            else:
+                sp = _resolve_site(shadow, site)
+                if "w_q" in sp:
+                    ys = conv2d_w8a8(sp, h, stride=stride, padding=padding, out_dtype=compute_dtype)
+                else:
+                    ys = conv2d(sp, h, stride=stride, padding=padding, compute_dtype=compute_dtype)
+                tap(site, y, ys)
+        return y
 
     h = jax.nn.relu(reg("conv1", params["conv1"], x, 2, 3))
     h = max_pool2d(h, 3, 2, 1)
@@ -571,3 +598,36 @@ def quantize_resnet18(params, state, calib_x, *, compute_dtype=jnp.bfloat16, hea
     folded = fold_resnet18_bn(params, state)
     amaxes = calibrate_resnet18_amax(folded, calib_x, compute_dtype=compute_dtype)
     return quantize_folded_resnet18(folded, amaxes, headroom=headroom)
+
+
+def _resnet18_sites(params):
+    yield "conv1"
+    for i, stage in enumerate(params["stages"]):
+        for b, bp in enumerate(stage):
+            yield f"stages/{i}/{b}/conv1"
+            yield f"stages/{i}/{b}/conv2"
+            if "downsample" in bp:
+                yield f"stages/{i}/{b}/downsample"
+
+
+def refine_quantized_resnet18(
+    qtree,
+    folded_params,
+    calib_x,
+    *,
+    passes: int = 1,
+    output_sites=("stages/3/1/conv2",),
+    shrink_n0: float = 64.0,
+    compute_dtype=jnp.float32,
+    log=None,
+):
+    """Affine refinement of a w8a8 ResNet-18 tree — the same local-shadow +
+    shrunk-output-touch-up scheme as :func:`refine_quantized_xception` (see
+    its docstring for the measured design rationale). The default output site
+    is the last block's conv2, the residual-branch conv closest to the
+    pooled features."""
+    return _refine_tree(
+        qtree, folded_params, calib_x, walk=resnet18_quant_walk,
+        sites=_resnet18_sites(folded_params), output_sites=output_sites,
+        passes=passes, shrink_n0=shrink_n0, compute_dtype=compute_dtype, log=log,
+    )

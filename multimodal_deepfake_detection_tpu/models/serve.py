@@ -502,13 +502,21 @@ class AUFaceScorer(_ShardedScoringMixin):
             x = resize_bilinear(flat, size).reshape(x.shape[:-3] + tuple(size) + (3,))
         return x
 
-    def calibrate(self, videos_u8: np.ndarray, au_patches_u8: np.ndarray) -> None:
+    def calibrate(
+        self, videos_u8: np.ndarray, au_patches_u8: np.ndarray, *, refine_passes: int = 0,
+    ) -> None:
         """Fit the w8a8 face + AU ResNet-18 backbones on a representative
-        batch (no-op when ``quantize=None``)."""
+        batch (no-op when ``quantize=None``). ``refine_passes > 0`` applies
+        the closed-form affine refinement to both streams (see
+        VisualScorer.calibrate)."""
         if self.quantize is None:
             return
         from .fold import fold_resnet18_bn
-        from .quant import calibrate_resnet18_amax, quantize_folded_resnet18
+        from .quant import (
+            calibrate_resnet18_amax,
+            quantize_folded_resnet18,
+            refine_quantized_resnet18,
+        )
 
         qb = {}
         for key, u8, size in (
@@ -522,6 +530,11 @@ class AUFaceScorer(_ShardedScoringMixin):
             )
             amaxes = calibrate_resnet18_amax(folded, flat, compute_dtype=self.compute_dtype)
             qb[key] = quantize_folded_resnet18(folded, amaxes)
+            if refine_passes:
+                qb[key] = refine_quantized_resnet18(
+                    qb[key], folded, flat, passes=refine_passes,
+                    compute_dtype=self.compute_dtype,
+                )
         self._qbackbones = (
             replicate(self.mesh, qb) if self.mesh is not None else jax.device_put(qb)
         )
@@ -658,19 +671,29 @@ class AUPatchScorer(_ShardedScoringMixin):
             )
         return x
 
-    def calibrate(self, patches_u8: np.ndarray) -> None:
+    def calibrate(self, patches_u8: np.ndarray, *, refine_passes: int = 0) -> None:
         """Fit the w8a8 ResNet-18 backbone on a representative patch batch
-        (no-op when ``quantize=None``)."""
+        (no-op when ``quantize=None``). ``refine_passes > 0`` applies the
+        closed-form affine refinement (see VisualScorer.calibrate)."""
         if self.quantize is None:
             return
         from .fold import fold_resnet18_bn
-        from .quant import calibrate_resnet18_amax, quantize_folded_resnet18
+        from .quant import (
+            calibrate_resnet18_amax,
+            quantize_folded_resnet18,
+            refine_quantized_resnet18,
+        )
 
         x = self._prep_patches(np.asarray(patches_u8))
         flat = x.reshape((-1,) + x.shape[-3:])
         folded = fold_resnet18_bn(self.params["backbone"], self.bn_state["backbone"])
         amaxes = calibrate_resnet18_amax(folded, flat, compute_dtype=self.compute_dtype)
         qtree = quantize_folded_resnet18(folded, amaxes)
+        if refine_passes:
+            qtree = refine_quantized_resnet18(
+                qtree, folded, flat, passes=refine_passes,
+                compute_dtype=self.compute_dtype,
+            )
         self._qbackbone = (
             replicate(self.mesh, qtree) if self.mesh is not None else jax.device_put(qtree)
         )

@@ -135,6 +135,51 @@ def test_refined_tree_serves_at_ptq_structure():
     assert not np.allclose(np.asarray(q0["conv1"]["s_w"]), np.asarray(qr["conv1"]["s_w"]))
 
 
+def test_refine_resnet18_reduces_error():
+    """The generic refinement core works on the ResNet-18 AU backbone too."""
+    from multimodal_deepfake_detection_tpu.models.fold import fold_resnet18_bn
+    from multimodal_deepfake_detection_tpu.models.quant import (
+        calibrate_resnet18_amax,
+        quantize_folded_resnet18,
+        refine_quantized_resnet18,
+        resnet18_quant_walk,
+    )
+    from multimodal_deepfake_detection_tpu.models.resnet import resnet18_init
+
+    params, state = resnet18_init(jax.random.PRNGKey(0))
+    folded = fold_resnet18_bn(params, state)
+    x = jnp.asarray(np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (8, 64, 64, 3))))
+    x_h = jnp.asarray(np.asarray(jax.random.uniform(jax.random.PRNGKey(9), (8, 64, 64, 3))))
+
+    def feats(tree, inp, quant):
+        return resnet18_quant_walk(tree, inp, quant=quant, compute_dtype=jnp.float32)
+
+    fp, fp_h = feats(folded, x, False), feats(folded, x_h, False)
+    amaxes = calibrate_resnet18_amax(folded, x, compute_dtype=jnp.float32)
+    q0 = quantize_folded_resnet18(folded, amaxes)
+    e0, e0_h = _rel_err(feats(q0, x, True), fp), _rel_err(feats(q0, x_h, True), fp_h)
+    qr = refine_quantized_resnet18(q0, folded, x, passes=1)
+    e1, e1_h = _rel_err(feats(qr, x, True), fp), _rel_err(feats(qr, x_h, True), fp_h)
+    assert e1 < e0 * 0.95, (e0, e1)
+    assert e1_h < e0_h, (e0_h, e1_h)
+
+
+def test_au_patch_scorer_refine_calibrate():
+    """calibrate(refine_passes=) plumbs through the AU-patch serving engine."""
+    from multimodal_deepfake_detection_tpu.models.resnet_lstm import au_patch_classifier_init
+    from multimodal_deepfake_detection_tpu.models.serve import AUPatchScorer
+
+    params, bn_state = au_patch_classifier_init(
+        jax.random.PRNGKey(0), hidden_dim=8, lstm_hidden=8
+    )
+    sc = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32, quantize="w8a8")
+    patches = np.random.default_rng(0).integers(0, 255, (2, 2, 3, 32, 32, 3), np.uint8)
+    sc.calibrate(patches, refine_passes=1)
+    assert sc._qbackbone is not None
+    probs = sc.score(patches)
+    assert probs.shape == (2,) and np.all((probs >= 0) & (probs <= 1))
+
+
 def test_visual_scorer_refine_calibrate():
     """calibrate(refine_passes=...) plumbs refinement through the serving engine."""
     from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
