@@ -138,6 +138,40 @@ def test_export_serving_cli(tmp_path):
     assert got.shape == (2,) and np.all((got >= 0) & (got <= 1))
 
 
+def test_export_serving_cli_quantized_refined(tmp_path):
+    """--quantize + --calib_npy + --refine_passes bakes the refined int8 tree
+    into the artifact; replay matches the in-process refined scorer."""
+    from multimodal_deepfake_detection_tpu.cli import export_serving
+    from multimodal_deepfake_detection_tpu.core.checkpoint import save_bundle
+
+    params, bn = xception_lstm_init(jax.random.PRNGKey(8), 8)
+    arc = arcface_init(jax.random.PRNGKey(9), 8, 2)
+    bundle = str(tmp_path / "visual.npz")
+    save_bundle(bundle, {"model": params, "arcface": arc, "state": bn})
+    frames = np.random.default_rng(10).integers(0, 255, (2, 2, 32, 32, 3), np.uint8)
+    calib = str(tmp_path / "calib.npy")
+    np.save(calib, frames)
+    out = str(tmp_path / "visual_q.jaxprog")
+    export_serving.main(
+        [
+            "--engine", "visual", "--ckpt_path", bundle, "--out", out,
+            "--frames", "2", "--size", "32", "--hidden_dim", "8",
+            "--compute_dtype", "float32", "--batch", "2",
+            "--quantize", "w8a8", "--calib_npy", calib, "--refine_passes", "1",
+        ],
+        log=lambda s: None,
+    )
+    sc = VisualScorer(
+        dict(params, arcface=arc), bn, compute_dtype=jnp.float32,
+        use_pallas=False, quantize="w8a8",
+    )
+    sc.calibrate(frames, refine_passes=1)
+    got = np.asarray(load_exported(open(out, "rb").read()).call(
+        jnp.asarray(frames), jnp.asarray(np.full((2,), 2, np.int32))
+    ))
+    np.testing.assert_allclose(got, sc.score(frames), atol=1e-6)
+
+
 def test_av_scorer_and_fused_export():
     """AVScorer = alpha-convex fusion of the two engines (config-5 serving),
     and export_av bakes BOTH backbones into one artifact whose output equals
