@@ -10,8 +10,9 @@ between iterations; host readback as the completion barrier), for:
   * int8 — the w8a8 quantized forward (models/quant.py)
 
 plus an on-chip accuracy sniff: max|feature drift| of int8 vs fp on the
-same input. Probe context: int8 matmul measured 337.8 TOP/s vs bf16
-172.8 (1.95x), int8 1x1 conv 238.7 vs 134.2 (1.78x) — tools/probe_int8.py.
+same input (``--refine N`` applies the affine PTQ refinement first). Probe
+context: int8 matmul measured 337.8 TOP/s vs bf16 172.8 (1.95x), int8 1x1
+conv 238.7 vs 134.2 (1.78x) — tools/probe_int8.py.
 """
 import argparse
 import json
@@ -29,6 +30,8 @@ def main():
     p.add_argument("--kb", type=int, default=6)
     p.add_argument("--which", default="fp,xla,int8")
     p.add_argument("--accuracy", action="store_true", help="also print int8-vs-fp feature drift")
+    p.add_argument("--refine", type=int, default=0,
+                   help="affine-refine the quantized trees (passes) before measuring")
     args = p.parse_args()
 
     import jax
@@ -57,12 +60,22 @@ def main():
     # calibrate on a slice of the bench input itself (machinery benchmark —
     # real deployments calibrate on real data)
     amaxes = calibrate_amax(folded, x[:32], compute_dtype=jnp.bfloat16)
-    qtree = jax.device_put(quantize_folded_xception(folded, amaxes))
-    qtree_dw = jax.device_put(quantize_folded_xception(folded, amaxes, quant_depthwise=True))
-    qtree_hy = jax.device_put(
-        quantize_folded_xception(folded, amaxes, quant_depthwise=True, skip_middle=True)
-    )
+    qtree = quantize_folded_xception(folded, amaxes)
+    qtree_dw = quantize_folded_xception(folded, amaxes, quant_depthwise=True)
+    qtree_hy = quantize_folded_xception(folded, amaxes, quant_depthwise=True, skip_middle=True)
     weights = jax.device_put(folded)
+    if args.refine:
+        from multimodal_deepfake_detection_tpu.models.quant import refine_quantized_xception
+
+        calib = x[:32].astype(jnp.float32)
+        qtree, qtree_dw, qtree_hy = (
+            refine_quantized_xception(t, folded, calib, passes=args.refine,
+                                      compute_dtype=jnp.bfloat16)
+            for t in (qtree, qtree_dw, qtree_hy)
+        )
+    qtree = jax.device_put(qtree)
+    qtree_dw = jax.device_put(qtree_dw)
+    qtree_hy = jax.device_put(qtree_hy)
 
     nets = {
         "fp": lambda p, h: folded_xception_apply(p, h, compute_dtype=jnp.bfloat16, use_pallas=True),
