@@ -9,6 +9,11 @@ bucket dispatch, optional mesh sharding).
     python -m multimodal_deepfake_detection_tpu.cli.serve \
         --engine visual --ckpt_path best.npz --input clips/ --output scores.jsonl
 
+Checkpoint-free deployment: ``--artifact prog_T25.jaxprog,prog_T50.jaxprog``
+(or a directory of ``.jaxprog`` files) scores through AOT-exported programs
+(cli/export_serving.py) instead — weights, quantization and preprocessing
+baked in, one artifact per serving bucket (models/artifact.py).
+
 Inputs per engine:
   visual   — ``.npy`` uint8 frame stacks (T, H, W, 3) and/or video files
              (mp4/avi/mov/mkv; decoded by the native engines, cv2 fallback)
@@ -61,6 +66,12 @@ class Config:
     # (int8-pointwise Pallas pos middle kernel). Calibrates on the first
     # scored batch.
     quantize: str = ""
+    # Serve from AOT artifacts instead of a checkpoint: comma-separated
+    # .jaxprog paths and/or directories of them (cli/export_serving.py), one
+    # per serving bucket. Checkpoint-free and model-code-free; weights,
+    # quantization and preprocessing are baked at export time, so
+    # --ckpt_path/--quantize/--use_mesh and the model-width flags are unused.
+    artifact: str = ""
 
 
 def _list_inputs(folder: str, exts) -> List[str]:
@@ -136,6 +147,18 @@ def _build_engine(cfg: Config, mesh):
 
     from ..models import serve as S
 
+    if cfg.artifact:
+        if cfg.quantize:
+            raise ValueError("--quantize is baked at export time; drop it with --artifact")
+        if mesh is not None:
+            raise ValueError("--use_mesh is not supported with --artifact "
+                             "(export per-shard programs instead)")
+        from ..models.artifact import load_artifact_scorer
+
+        return load_artifact_scorer(
+            [p.strip() for p in cfg.artifact.split(",") if p.strip()],
+            engine=cfg.engine,
+        )
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     common = dict(compute_dtype=cdtype, mesh=mesh, quantize=cfg.quantize or None)
     if cfg.engine == "visual":

@@ -23,6 +23,10 @@ Score a clip from Python:
 
 ``--warmup T[,H,W]`` pre-compiles the (batch-bucket x time-bucket) grid at
 startup so live traffic never pays a first-request compile.
+
+``--artifact prog_T25.jaxprog,...`` (inherited from cli/serve.py) serves from
+AOT-exported programs instead of a checkpoint — a checkpoint-free,
+model-code-free daemon (models/artifact.py).
 """
 from __future__ import annotations
 
