@@ -74,6 +74,14 @@ class Config:
     compute_dtype: str = "bfloat16"
     buckets: Tuple[int, ...] = (25, 50)
     mask_padding: bool = True
+    # Reference quirk: the per-epoch eval pass applies the ArcFace margin WITH
+    # labels (train_visual.py:620-622), which poisons eval loss/EER until the
+    # raw angular separation exceeds the margin (~13 logit units at s=30,
+    # m=0.5) — the joint best-(loss,EER) bundle can stay pinned at epoch 1 in
+    # short/from-scratch runs. false = quality mode: margin-free eval like the
+    # final test CLI (test_visual.py:620-624), same flag pattern as
+    # --mask_padding.
+    eval_with_margin: bool = True
     # rematerialize backbone blocks in the backward pass (jax.checkpoint)
     remat: bool = False
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
@@ -143,7 +151,9 @@ def build(config: Config, train_ds=None, eval_ds=None):
         )
         labels_i = labels.astype(jnp.int32)
         # margin applied with labels in BOTH train and per-epoch eval passes
-        logits = arcface_apply(params["arcface"], emb, labels_i, s=config.arcface_s, m=config.arcface_m)
+        # (reference quirk; --eval_with_margin false evals margin-free)
+        margin_labels = labels_i if (train or config.eval_with_margin) else None
+        logits = arcface_apply(params["arcface"], emb, margin_labels, s=config.arcface_s, m=config.arcface_m)
         w = (lengths > 0).astype(jnp.float32)
         loss = cross_entropy_loss(logits, labels_i, sample_weight=w)
         probs = jax.nn.softmax(logits, axis=-1)[:, 1]

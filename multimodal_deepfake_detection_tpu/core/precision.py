@@ -36,6 +36,18 @@ class Policy:
         return cast_tree(tree, self.param_dtype)
 
 
+def at_least_f32(x):
+    """Upcast to AT LEAST fp32 (bf16/f16 -> f32; f32 -> f32; f64 stays f64).
+
+    Precision-sensitive math (BN statistics, ArcFace acos, log-softmax) is
+    written against this instead of a hard ``astype(float32)`` so the whole
+    stack runs faithfully under ``jax.experimental.enable_x64`` — the fp64
+    mode the torch-gradient-parity oracle uses (tests/test_train_step_parity.py).
+    Identical behavior in production (x64 disabled: no fp64 arrays exist).
+    """
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def cast_tree(tree, dtype):
     """Cast every floating-point leaf of a pytree to ``dtype``."""
 

@@ -12,9 +12,11 @@ source and reloads ``.pth`` checkpoints for every eval run (e.g.
 ``/root/reference/test_visual.py:572-608``); it has no deployable serving
 artifact at all.
 
-Engine detection is structural — each engine's exported calling convention
-(models/export.py) has a unique (arity, ndim, dtype) signature, so the arrays
-inside the artifact identify it with no sidecar metadata:
+Engine identity comes from the ``.jaxprog`` container's embedded manifest
+(models/export.py: engine, bucket dims, quant mode, framework version); for
+raw pre-manifest blobs the fallback is structural detection — each engine's
+exported calling convention has a unique (arity, ndim, dtype) signature, so
+the arrays inside the artifact identify it with no sidecar metadata:
 
 ========  =====================================================================
 engine    exported positional args (B symbolic or static)
@@ -46,7 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.collate import bucket_length
-from .export import load_exported
+from .export import load_exported, read_manifest
 
 __all__ = ["ArtifactScorer", "load_artifact_scorer", "detect_engine"]
 
@@ -141,14 +143,25 @@ class ArtifactScorer:
     """
 
     def __init__(self, sources: Union[Source, Sequence[Source]], *,
-                 engine: Optional[str] = None, hop_length: int = 160):
+                 engine: Optional[str] = None, hop_length: Optional[int] = None):
         blobs = _gather(sources)
         if not blobs:
             raise ValueError("no artifacts given")
         progs = []
+        manifest_hops = set()
         for blob in blobs:
             p = load_exported(blob)
-            progs.append(_Program(p, detect_engine(p)))
+            m = read_manifest(blob)
+            detected = detect_engine(p)
+            if m is not None and "engine" in m:
+                if m["engine"] != detected:
+                    raise ValueError(
+                        f"corrupt artifact: manifest says {m['engine']!r} but the "
+                        f"program's input signature is a {detected!r} convention"
+                    )
+                if "hop_length" in m:
+                    manifest_hops.add(int(m["hop_length"]))
+            progs.append(_Program(p, detected))
         engines = {p.engine for p in progs}
         if len(engines) > 1:
             raise ValueError(f"artifacts target different engines: {sorted(engines)}")
@@ -165,6 +178,12 @@ class ArtifactScorer:
             raise ValueError(f"duplicate bucket keys among artifacts: {sorted(keys)}")
         self._programs = {p.key: p for p in progs}
         self.buckets: List[Tuple[int, ...]] = sorted(self._programs)
+        if hop_length is None:
+            # default from the manifests (the hop the engine was exported
+            # with); 160 (the engine default) for raw legacy blobs
+            if len(manifest_hops) > 1:
+                raise ValueError(f"artifacts disagree on hop_length: {sorted(manifest_hops)}")
+            hop_length = manifest_hops.pop() if manifest_hops else 160
         self.hop_length = int(hop_length)
 
     # -- dispatch ------------------------------------------------------------
@@ -317,6 +336,6 @@ def _gather(sources: Union[Source, Sequence[Source]]) -> List[bytes]:
 
 def load_artifact_scorer(sources: Union[Source, Sequence[Source]], *,
                          engine: Optional[str] = None,
-                         hop_length: int = 160) -> ArtifactScorer:
+                         hop_length: Optional[int] = None) -> ArtifactScorer:
     """Build an :class:`ArtifactScorer` from paths, directories, or blobs."""
     return ArtifactScorer(sources, engine=engine, hop_length=hop_length)

@@ -34,11 +34,54 @@ CLI: ``python -m multimodal_deepfake_detection_tpu.cli.export_serving``.
 """
 from __future__ import annotations
 
+import json
+import struct
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax import export as jexport
+
+# ---------------------------------------------------------------------------
+# .jaxprog container: MAGIC | u32 manifest length | JSON manifest | program
+#
+# The manifest records what the artifact IS (engine, bucket dims, quant mode,
+# framework version) so loaders don't have to infer it from the program's
+# input signature as engines evolve. Raw ``jax.export`` blobs (pre-manifest
+# artifacts) stay loadable — every reader falls back to structural detection
+# (models/artifact.py::detect_engine) when the magic is absent.
+# ---------------------------------------------------------------------------
+_MAGIC = b"MDFDJXPG"
+_CONTAINER_FORMAT = 1
+
+
+def _wrap(blob: bytes, manifest: dict) -> bytes:
+    from .. import __version__
+
+    meta = json.dumps(
+        {"format": _CONTAINER_FORMAT, "version": __version__, **manifest},
+        sort_keys=True,
+    ).encode()
+    return _MAGIC + struct.pack("<I", len(meta)) + meta + blob
+
+
+def read_manifest(blob: bytes) -> Optional[dict]:
+    """The artifact's manifest dict, or None for a raw (legacy) blob."""
+    if not blob.startswith(_MAGIC):
+        return None
+    (n,) = struct.unpack("<I", blob[len(_MAGIC) : len(_MAGIC) + 4])
+    return json.loads(blob[len(_MAGIC) + 4 : len(_MAGIC) + 4 + n])
+
+
+def _unwrap(blob: bytes) -> bytes:
+    if not blob.startswith(_MAGIC):
+        return blob
+    (n,) = struct.unpack("<I", blob[len(_MAGIC) : len(_MAGIC) + 4])
+    return blob[len(_MAGIC) + 4 + n :]
+
+
+def _quant_mode(scorer) -> Optional[str]:
+    return scorer.quantize if getattr(scorer, "_qbackbone", None) is not None else None
 
 
 def _batch_dim(batch):
@@ -112,7 +155,9 @@ def export_visual(scorer, T: int, H: int, W: int, *, batch="b",
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
     with _interpret_for_targets([scorer], platforms):
-        return _export(fn, specs, platforms)
+        blob = _export(fn, specs, platforms)
+    return _wrap(blob, {"engine": "visual", "T": int(T), "H": int(H), "W": int(W),
+                        "quant": _quant_mode(scorer)})
 
 
 def export_audio(scorer, num_samples: int, *, batch="b",
@@ -137,7 +182,10 @@ def export_audio(scorer, num_samples: int, *, batch="b",
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
     with _interpret_for_targets([scorer], platforms):
-        return _export(fn, specs, platforms)
+        blob = _export(fn, specs, platforms)
+    return _wrap(blob, {"engine": "audio", "num_samples": int(num_samples),
+                        "hop_length": int(scorer.mfcc_kw.get("hop_length", 160)),
+                        "quant": _quant_mode(scorer)})
 
 
 def export_au_face(scorer, T: int, Ta: int, A: int, face_hw, patch_hw, *, batch="b",
@@ -167,7 +215,10 @@ def export_au_face(scorer, T: int, Ta: int, A: int, face_hw, patch_hw, *, batch=
         jax.ShapeDtypeStruct((B, Ta, A), jnp.float32),
         jax.ShapeDtypeStruct((B, Ta, A), jnp.float32),
     )
-    return _export(fn, specs, platforms)
+    blob = _export(fn, specs, platforms)
+    return _wrap(blob, {"engine": "au_face", "T": int(T), "Ta": int(Ta), "A": int(A),
+                        "face_hw": [int(H), int(W)], "patch_hw": [int(h), int(w)],
+                        "quant": scorer.quantize if scorer._qbackbones is not None else None})
 
 
 def export_au_patch(scorer, T: int, A: int, patch_hw, *, batch="b",
@@ -186,7 +237,9 @@ def export_au_patch(scorer, T: int, A: int, patch_hw, *, batch="b",
         jax.ShapeDtypeStruct((B, T, A), jnp.float32),
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
-    return _export(fn, specs, platforms)
+    blob = _export(fn, specs, platforms)
+    return _wrap(blob, {"engine": "au_patch", "T": int(T), "A": int(A),
+                        "patch_hw": [int(h), int(w)], "quant": _quant_mode(scorer)})
 
 
 def export_av(av_scorer, T: int, H: int, W: int, num_samples: int, *, batch="b",
@@ -217,9 +270,14 @@ def export_av(av_scorer, T: int, H: int, W: int, num_samples: int, *, batch="b",
         jax.ShapeDtypeStruct((B,), jnp.int32),
     )
     with _interpret_for_targets([vis, aud], platforms):
-        return _export(fn, specs, platforms)
+        blob = _export(fn, specs, platforms)
+    return _wrap(blob, {"engine": "av", "T": int(T), "H": int(H), "W": int(W),
+                        "num_samples": int(num_samples), "alpha": float(av_scorer.alpha),
+                        "hop_length": int(aud.mfcc_kw.get("hop_length", 160)),
+                        "quant": [_quant_mode(vis), _quant_mode(aud)]})
 
 
 def load_exported(blob: bytes):
-    """Deserialize an exported scoring program; run it via ``.call(*args)``."""
-    return jexport.deserialize(blob)
+    """Deserialize an exported scoring program (manifest container or raw
+    legacy blob); run it via ``.call(*args)``."""
+    return jexport.deserialize(_unwrap(blob))

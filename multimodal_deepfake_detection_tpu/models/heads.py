@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.precision import at_least_f32
 from ..ops.conv import linear, linear_init
 from ..ops.lstm import lstm_apply, lstm_init, select_last_step
 from ..ops.resize import resize_bilinear
@@ -165,8 +166,8 @@ def arcface_apply(
     replaced by ``cos(theta + m)`` (``/root/reference/train_visual.py:464-474``).
     Computed in fp32 — acos near +/-1 is precision-sensitive.
     """
-    x = features.astype(jnp.float32)
-    w = params["w"].astype(jnp.float32)
+    x = at_least_f32(features)
+    w = at_least_f32(params["w"])
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
     w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
     cos = x @ w.T

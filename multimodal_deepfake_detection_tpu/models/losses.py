@@ -21,6 +21,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..core.precision import at_least_f32
+
 
 def _f32(*xs):
     return tuple(x.astype(jnp.float32) for x in xs)
@@ -73,7 +75,7 @@ def cross_entropy_loss(
 ) -> jnp.ndarray:
     """Mean CE over integer labels; optional per-class weights (torch semantics:
     weighted sum divided by the sum of the sample weights)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(at_least_f32(logits), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
     w = jnp.ones_like(nll)
     if class_weights is not None:
@@ -106,7 +108,7 @@ def cb_focal_loss(
     (``/root/reference/train_au_face.py:452-458``: per-sample weighted CE via
     ``F.cross_entropy(..., weight=...)``, then plain mean of the focal terms).
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(at_least_f32(logits), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
     ce = class_weights.astype(jnp.float32)[labels] * nll
     pt = jnp.exp(-ce)

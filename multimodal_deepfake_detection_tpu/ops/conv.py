@@ -29,6 +29,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.precision import at_least_f32
+
 Params = dict
 State = dict
 
@@ -231,7 +233,7 @@ def _dw3x3_bwd(res, dy):
     taps = []
     for ky in range(3):
         for kx in range(3):
-            prod = xp[:, ky : ky + H, kx : kx + W, :].astype(jnp.float32) * dy.astype(jnp.float32)
+            prod = at_least_f32(xp[:, ky : ky + H, kx : kx + W, :]) * at_least_f32(dy)
             taps.append(jnp.sum(prod, axis=(0, 1, 2)))
     dw = jnp.stack(taps).reshape(3, 3, 1, C).astype(w.dtype)
     return dx, dw
@@ -262,7 +264,7 @@ def _bn_train_core(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: f
     single-pass variance fuses the forward stats into one activation read.
     Default path (gradient-equivalence tested); MDFD_BN_CUSTOM=0 restores
     autodiff BN."""
-    xf = x.astype(jnp.float32)
+    xf = at_least_f32(x)
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(xf, axis=axes)
     var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
@@ -281,8 +283,8 @@ def _bn_train_core_bwd(eps, res, cts):
     dy, _dmean, _dvar = cts  # (mean, var) feed only the stop_gradient'd
     # running-state update, so their cotangents are exactly zero
     x, mean, rstd, scale = res
-    xf = x.astype(jnp.float32)
-    dyf = dy.astype(jnp.float32)
+    xf = at_least_f32(x)
+    dyf = at_least_f32(dy)
     axes = tuple(range(x.ndim - 1))
     n = x.size // x.shape[-1]
     xhat = (xf - mean) * rstd
@@ -328,7 +330,7 @@ def batch_norm(
     reduce_axes = tuple(range(x.ndim - 1))
     if train and _BN_CUSTOM:
         out, mean, var = _bn_train_core(
-            x, params["scale"].astype(jnp.float32), params["bias"].astype(jnp.float32), eps
+            x, at_least_f32(params["scale"]), at_least_f32(params["bias"]), eps
         )
         # Running-state updates are no-grad buffer writes (torch BN contract);
         # stop_gradient makes the custom VJP's zero-cotangent assumption for
@@ -343,7 +345,7 @@ def batch_norm(
         }
         return out.astype(orig_dtype), new_state
     if train:
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         mean = jnp.mean(xf, axis=reduce_axes)
         if _BN_SINGLE_PASS:
             # E[x^2] - E[x]^2: both moments fuse into ONE reduction pass over
@@ -363,9 +365,9 @@ def batch_norm(
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    scale = params["scale"].astype(jnp.float32) * jax.lax.rsqrt(var + eps)
-    shift = params["bias"].astype(jnp.float32) - mean * scale
-    out = x.astype(jnp.float32) * scale + shift
+    scale = at_least_f32(params["scale"]) * jax.lax.rsqrt(var + eps)
+    shift = at_least_f32(params["bias"]) - mean * scale
+    out = at_least_f32(x) * scale + shift
     return out.astype(orig_dtype), new_state
 
 
@@ -415,7 +417,7 @@ def max_pool2d(x: jnp.ndarray, kernel_size=3, stride=2, padding=1) -> jnp.ndarra
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """(N, H, W, C) -> (N, C); the adaptive_avg_pool2d(1,1) analog."""
-    return jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+    return jnp.mean(at_least_f32(x), axis=(1, 2)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from ..models.xception import XCEPTION_BLOCK_SPECS
 
 
+def _np_f32up(x):
+    a = _np(x)
+    return a.astype(np.promote_types(a.dtype, np.float32))
+
+
 def _np(x):
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
@@ -43,8 +48,10 @@ def depthwise_w(t):
 def _bn(sd, prefix):
     params = {"scale": jnp.asarray(_np(sd[prefix + ".weight"])), "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
     state = {
-        "mean": jnp.asarray(_np(sd[prefix + ".running_mean"]), jnp.float32),
-        "var": jnp.asarray(_np(sd[prefix + ".running_var"]), jnp.float32),
+        # at-least-fp32 (not a hard cast): fp64 checkpoints keep fp64 under
+        # jax_enable_x64 (the gradient-parity oracle), bf16 ones upcast
+        "mean": jnp.asarray(_np_f32up(sd[prefix + ".running_mean"])),
+        "var": jnp.asarray(_np_f32up(sd[prefix + ".running_var"])),
     }
     return params, state
 

@@ -91,6 +91,47 @@ def test_engine_detection_and_mismatch_errors():
         ArtifactScorer([])
 
 
+def test_manifest_roundtrip_and_legacy_fallback():
+    """The .jaxprog container embeds a manifest (engine, bucket dims, quant,
+    version); raw pre-manifest blobs stay loadable via structural detection."""
+    from multimodal_deepfake_detection_tpu import __version__
+    from multimodal_deepfake_detection_tpu.models.export import _unwrap, read_manifest
+
+    live = _visual_scorer()
+    blob = export_visual(live, T=2, H=32, W=32)
+    m = read_manifest(blob)
+    assert m == {
+        "format": 1, "version": __version__, "engine": "visual",
+        "T": 2, "H": 32, "W": 32, "quant": None,
+    }
+    x = _frames(2, 2, seed=7)
+    want = live.score(x)
+    np.testing.assert_allclose(ArtifactScorer(blob).score(x), want, atol=1e-6)
+
+    # legacy raw blob (no container): manifest absent, detection fallback works
+    raw = _unwrap(blob)
+    assert read_manifest(raw) is None
+    art = ArtifactScorer(raw)
+    assert art.engine == "visual"
+    np.testing.assert_allclose(art.score(x), want, atol=1e-6)
+
+    # corrupt container: manifest/engine disagreement is rejected
+    from multimodal_deepfake_detection_tpu.models.export import _wrap
+
+    wrapped_as_audio = _wrap(raw, {"engine": "audio"})
+    assert read_manifest(wrapped_as_audio)["engine"] == "audio"
+    with pytest.raises(ValueError, match="corrupt artifact"):
+        ArtifactScorer(wrapped_as_audio)
+
+    # audio manifests carry the export hop_length; the scorer defaults to it
+    params, bn = xception_lstm_init(jax.random.PRNGKey(5), 8)
+    aud = AudioScorer(params, bn, compute_dtype=jnp.float32, use_pallas=False)
+    ablob = export_audio(aud, 1600)
+    am = read_manifest(ablob)
+    assert am["engine"] == "audio" and am["hop_length"] == aud.mfcc_kw["hop_length"]
+    assert ArtifactScorer(ablob).hop_length == aud.mfcc_kw["hop_length"]
+
+
 def test_audio_artifact_matches_live_full_length():
     params, bn = xception_lstm_init(jax.random.PRNGKey(2), 8)
     live = AudioScorer(params, bn, compute_dtype=jnp.float32, use_pallas=False)

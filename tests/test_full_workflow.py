@@ -28,7 +28,7 @@ def test_raw_video_to_metrics(tmp_path):
     raw = tmp_path / "dataset"
     for label, base in (("real", 90), ("fake", 170)):
         os.makedirs(raw / label)
-        for v in range(2):
+        for v in range(6):
             _write_video(str(raw / label / f"v{v}.avi"), 12, base, seed=v)
 
     # L0 -> npy trees (small split so 12-frame videos qualify)
@@ -37,18 +37,25 @@ def test_raw_video_to_metrics(tmp_path):
         str(raw), processed, size=32, splits=(("train", 6), ("eval", 3), ("test", 3)),
         log=lambda s: None,
     )
-    assert sorted(written) == ["fake_v0", "fake_v1", "real_v0", "real_v1"]
+    assert sorted(written) == sorted(f"{l}_v{v}" for l in ("fake", "real") for v in range(6))
 
     # L4 train through the CLI
     ckpt = str(tmp_path / "ckpt")
     logs = []
+    # From-scratch micro-regime: margin-free per-epoch eval (quality-mode flag;
+    # the reference quirk of eval-with-margin pins EER at 1.0 until the raw
+    # angular separation exceeds s*m*sin(theta) ~ 13 logit units, freezing the
+    # joint best-(loss,EER) bundle at epoch 1 in short runs) and enough steps
+    # for BN running stats to converge toward the batch statistics training
+    # sees (momentum 0.1: 0.9^60 ~ 0.2%).
     train_visual.main(
         [
             "--train_folder", f"{processed}/train",
             "--eval_folder", f"{processed}/eval",
             "--checkpoint_dir", ckpt,
-            "--hidden_dim", "8", "--batch_size", "2", "--epochs", "2",
-            "--freeze_epochs", "1", "--buckets", "6", "--lr", "1e-3",
+            "--hidden_dim", "8", "--batch_size", "4", "--epochs", "20",
+            "--freeze_epochs", "0", "--buckets", "6", "--lr", "3e-4",
+            "--early_stop_patience", "40", "--eval_with_margin", "false",
             "--compute_dtype", "float32", "--save_resume_state", "false",
         ],
         log=logs.append,
@@ -61,10 +68,15 @@ def test_raw_video_to_metrics(tmp_path):
         [
             "--test_folder", f"{processed}/test",
             "--ckpt_path", bundle,
-            "--hidden_dim", "8", "--batch_size", "2", "--buckets", "3",
+            "--hidden_dim", "8", "--batch_size", "4", "--buckets", "3",
             "--compute_dtype", "float32",
         ],
         log=logs.append,
     )
-    assert results["total_real"] == 2 and results["total_fake"] == 2
-    assert 0.0 <= results["AUC"] <= 1.0 and np.isfinite(results["EER"])
+    assert results["total_real"] == 6 and results["total_fake"] == 6
+    # The classes differ by a large brightness offset (90 vs 170): the trained
+    # best bundle must separate the held-out test clips, not just produce
+    # finite metrics (measured trajectory: eval AUC 0.67 -> 1.0 by epoch 15,
+    # test AUC 1.0).
+    assert results["AUC"] >= 0.9, results
+    assert np.isfinite(results["EER"])

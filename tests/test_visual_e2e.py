@@ -64,6 +64,39 @@ def test_train_then_test_visual(face_tree, tmp_path):
     assert z["scores"].shape == (6,) and z["labels"].shape == (6,)
 
 
+def test_train_visual_learns_signal(face_tree, tmp_path):
+    """The synthetic fakes carry a brightness offset; a few unfrozen epochs must
+    push train AUC well above chance. Guards the whole ArcFace-CE grad path
+    (incl. the custom BN VJP) against sign/flow errors that keep loss finite —
+    the reference's loop demonstrably converges (train_visual.py:548-643)."""
+    config = train_visual.Config(
+        train_folder=f"{face_tree}/train",
+        eval_folder=f"{face_tree}/eval",
+        checkpoint_dir=str(tmp_path / "c3"),
+        hidden_dim=8,
+        batch_size=3,
+        epochs=1,
+        freeze_epochs=0,
+        buckets=(3,),
+        compute_dtype="float32",
+        lr=1e-3,
+    )
+    train_loader, _, state, train_step, _ = train_visual.build(config)
+    from multimodal_deepfake_detection_tpu.metrics import compute_eer_auc
+
+    aucs = []
+    for epoch in range(6):
+        probs_all, labels_all = [], []
+        for i, (batch, labels, lengths) in enumerate(train_loader):
+            state, loss, probs = train_step(state, (batch, labels, lengths), epoch * 100 + i, epoch)
+            m = lengths > 0
+            probs_all.extend(np.asarray(probs).ravel()[m].tolist())
+            labels_all.extend(labels[m].astype(int).tolist())
+        auc, *_ = compute_eer_auc(labels_all, probs_all)
+        aucs.append(auc)
+    assert max(aucs[2:]) > 0.85, f"AUCs {aucs}"
+
+
 def test_test_visual_strict_load_rejects_wrong_dim(face_tree, tmp_path):
     """Bundle trained at hidden 8 must fail a strict load into hidden 16."""
     ckpt_dir = str(tmp_path / "c")

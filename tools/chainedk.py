@@ -25,13 +25,25 @@ from __future__ import annotations
 import time
 
 
-def chained_device_time(apply_fn, arrays, *, ka: int = 2, kb: int = 8, iters: int = 6):
+def chained_device_time(apply_fn, arrays, *, ka: int = 2, kb: int = 8, iters: int = 6,
+                        compiler_options=None, arg_offset: int = 0):
     """Relay-free device seconds of one ``apply_fn(*arrays)`` application.
 
     ``apply_fn`` maps the (device-placed) arrays to a SCALAR (e.g.
     ``jnp.sum(out)``); ``arrays`` is a tuple of jax/numpy arrays. Each timing
     call is best-of-``iters`` wall time with a host readback barrier;
     returns ``(T(kb) - T(ka)) / (kb - ka)``.
+
+    ``compiler_options``: per-executable XLA options dict, shipped inside the
+    compile RPC via ``jit(...).lower(...).compile(compiler_options=...)`` —
+    the only way to reach the remote TPU compiler through the relay.
+
+    ``arg_offset``: added to every perturbation index. When SWEEPING variants
+    (e.g. compiler-option candidates), give each variant a distinct offset —
+    a candidate that changes nothing compiles to an executable identical to
+    baseline, and the relay memoizes identical (executable, args) executions,
+    so colliding indices would replay cached results and report a spurious
+    speedup (ADVICE r3).
     """
     import jax
     import jax.numpy as jnp
@@ -39,7 +51,6 @@ def chained_device_time(apply_fn, arrays, *, ka: int = 2, kb: int = 8, iters: in
     arrays = tuple(jax.device_put(a) for a in arrays)
 
     def make(K):
-        @jax.jit
         def chain(ars, i):
             f0 = 1.0 + i.astype(jnp.float32) * 1e-6
             ars = tuple(a * f0.astype(a.dtype) for a in ars)
@@ -54,7 +65,15 @@ def chained_device_time(apply_fn, arrays, *, ka: int = 2, kb: int = 8, iters: in
             _, acc = jax.lax.fori_loop(0, K, body, (ars, jnp.float32(0.0)))
             return acc
 
-        return lambda i: chain(arrays, jnp.int32(i))
+        if compiler_options:
+            compiled = (
+                jax.jit(chain)
+                .lower(arrays, jnp.int32(0))
+                .compile(compiler_options=dict(compiler_options))
+            )
+        else:
+            compiled = jax.jit(chain)
+        return lambda i: compiled(arrays, jnp.int32(arg_offset + i))
 
     ta = timed_best(make(ka), iters)
     tb = timed_best(make(kb), iters)

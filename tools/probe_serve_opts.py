@@ -10,8 +10,12 @@ via ``jit(...).lower(...).compile(compiler_options=...)`` — the only way to
 reach the remote TPU compiler through the relay
 (tools/probe_compile_opts.py).
 
-Chained-K methodology (tools/chainedk.py invariants: data-dependent
-perturbation, every input perturbed).
+Timing is tools/chainedk.py's chained-K harness (single source of the
+methodology invariants). Each sweep entry gets a distinct ``arg_offset`` so
+a no-op option — whose executable is identical to baseline — cannot replay
+the relay's memoized (executable, args) results and fake a speedup
+(ADVICE r3); differences below the noise floor print UNRELIABLE instead of
+a fabricated throughput.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_serve_opts.py
@@ -22,7 +26,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -33,6 +36,10 @@ CANDIDATES = [
     "xla_tpu_enable_aggressive_loop_fusion_layout_opt=true",
     "xla_tpu_enable_dot_strength_reduction=false",
 ]
+
+# below this, (T(kb) - T(ka)) is indistinguishable from wall-clock noise on
+# the relay and the per-iteration quotient is meaningless
+MIN_RELIABLE_DIFF_S = 3e-3
 
 
 def main():
@@ -46,19 +53,19 @@ def main():
     p.add_argument("--pallas", default=True, action=argparse.BooleanOptionalAction)
     args = p.parse_args()
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
+    from chainedk import chained_device_time
     from multimodal_deepfake_detection_tpu.models.fold import fold_xception_bn, folded_xception_apply
     from multimodal_deepfake_detection_tpu.models.xception import xception_init
 
     params, state = xception_init(jax.random.PRNGKey(0), num_classes=2)
     folded = jax.device_put(fold_xception_bn(params, state))
     B = args.batch
-    x = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).random((B, args.size, args.size, 3)), jnp.bfloat16)
-    )
+    x = jnp.asarray(np.random.default_rng(0).random((B, args.size, args.size, 3)), jnp.bfloat16)
 
     def apply_fn(xin):
         feats = folded_xception_apply(
@@ -66,38 +73,22 @@ def main():
         )
         return jnp.sum(feats.astype(jnp.float32))
 
-    def timed_chain(K, opts):
-        def chain(xin, i):
-            f0 = 1.0 + i.astype(jnp.float32) * 1e-6
-            xin = (xin.astype(jnp.float32) * f0).astype(xin.dtype)
-
-            def body(_, carry):
-                h, acc = carry
-                s = apply_fn(h)
-                f = 1.0 + s * 1e-38
-                h = (h.astype(jnp.float32) * f).astype(h.dtype)
-                return h, acc + s
-
-            _, acc = jax.lax.fori_loop(0, K, body, (xin, jnp.float32(0.0)))
-            return acc
-
-        compiled = jax.jit(chain).lower(x, jnp.int32(0)).compile(compiler_options=opts or None)
-        float(compiled(x, jnp.int32(999_999)))  # warm
-        best = float("inf")
-        for i in range(args.iters):
-            t0 = time.perf_counter()
-            float(compiled(x, jnp.int32(i)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     sweep = [args.opts] if args.opts is not None else CANDIDATES
-    for spec in sweep:
+    for spec_index, spec in enumerate(sweep):
         opts = dict(kv.split("=", 1) for kv in filter(None, (spec or "").split(",")))
         label = spec or "baseline"
         try:
-            ta = timed_chain(args.ka, opts)
-            tb = timed_chain(args.kb, opts)
-            ms = (tb - ta) / (args.kb - args.ka) * 1e3
+            per_iter = chained_device_time(
+                apply_fn, (x,), ka=args.ka, kb=args.kb, iters=args.iters,
+                compiler_options=opts or None,
+                arg_offset=spec_index * 10_000,  # no (executable, args) collisions
+            )
+            diff = per_iter * (args.kb - args.ka)
+            if diff < MIN_RELIABLE_DIFF_S:
+                print(f"{label:64s} UNRELIABLE (K-diff {diff * 1e3:.2f} ms < "
+                      f"{MIN_RELIABLE_DIFF_S * 1e3:.0f} ms noise floor)", flush=True)
+                continue
+            ms = per_iter * 1e3
             print(f"{label:64s} {ms:8.2f} ms/batch  {B / ms * 1e3:9.0f} frames/s", flush=True)
         except Exception as e:
             print(f"{label:64s} REJECTED: {type(e).__name__}: {str(e)[:120]}", flush=True)
