@@ -72,6 +72,49 @@ def test_microbatcher_coalesces_and_is_exact():
     assert st["mean_batch_occupancy"] > 1.0
 
 
+def test_microbatcher_engine_aware_deadline():
+    """Items that queued behind a busy engine get a FRESH coalescing window
+    when the engine frees (VERDICT r3 item 5: without this, closed-loop
+    traffic flushes stragglers as rump batches the instant the engine idles
+    — measured 11.6/16 occupancy, -21% throughput at small clips)."""
+
+    class _SlowAdapter(_FakeAdapter):
+        def run(self, items, pad_to):
+            with self._lock:
+                self.batches.append((len(items), pad_to, items[0]["x"].shape))
+            time.sleep(0.4)  # engine busy long past max_wait
+            return np.array([float(it["x"].sum()) for it in items])
+
+    ad = _SlowAdapter()
+    xs = [RNG.normal(size=3).astype(np.float32) for _ in range(8)]
+    with MicroBatcher(ad, max_batch=4, max_wait_ms=300, batch_buckets=(1, 4)) as mb:
+        # full batch -> engine busy 0.4 s
+        futs = [mb.submit(x=x) for x in xs[:4]]
+        time.sleep(0.1)
+        # stragglers arrive while the engine is busy; by engine-free time
+        # (t=0.4) their raw age (0.3 s) already hit max_wait (0.3 s) — the
+        # enqueue-age policy would flush them alone right there
+        futs += [mb.submit(x=x) for x in xs[4:6]]
+
+        def late_pair():
+            # the "just-resolved clients resubmit" ~0.15 s into the fresh
+            # window (t=0.55, straggler deadline t=0.4+0.3=0.7)
+            time.sleep(0.45)
+            for x in xs[6:]:
+                futs.append(mb.submit(x=x))
+
+        t = threading.Thread(target=late_pair)
+        t.start()
+        t.join()
+        time.sleep(0.05)
+        for f in list(futs):
+            f.result(timeout=10)
+    # enqueue-time deadlines would flush the stragglers alone (batch of 2)
+    # the moment the engine frees; the engine-aware window lets the late
+    # pair join them -> both batches full
+    assert [n for n, _, _ in ad.batches] == [4, 4], ad.batches
+
+
 def test_microbatcher_shape_key_isolation_and_bucket_padding():
     ad = _FakeAdapter()
     with MicroBatcher(ad, max_batch=8, max_wait_ms=100, batch_buckets=(1, 2, 4, 8)) as mb:
