@@ -37,11 +37,39 @@ def _wmean(values: jnp.ndarray, sample_weight: Optional[jnp.ndarray]) -> jnp.nda
     return jnp.sum(w * values) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
-def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12, *, sample_weight=None) -> jnp.ndarray:
-    """Binary cross-entropy on probabilities (torch ``nn.BCELoss``)."""
+@jax.custom_vjp
+def _bce_elem(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BCE-on-probabilities with torch ``nn.BCELoss`` saturation
+    semantics: log terms clamped at -100 forward, and the backward formula
+    ``(p - t) / max(p*(1-p), 1e-12)`` — finite (if huge) at p in {0, 1}, the
+    direction Adam then renormalizes. A plain epsilon clip on ``p`` cannot do
+    this in fp32 (1 - 1e-12 rounds to 1.0, reviving log(0) = -inf and a NaN
+    grad — observed killing train_audio once a learned fixture saturated the
+    sigmoid), and autodiff through a log clamp yields 0 * inf = NaN instead."""
+    log_p = jnp.maximum(jnp.log(p), -100.0)
+    log_1mp = jnp.maximum(jnp.log(1.0 - p), -100.0)
+    return -(t * log_p + (1 - t) * log_1mp)
+
+
+def _bce_elem_fwd(p, t):
+    return _bce_elem(p, t), (p, t)
+
+
+def _bce_elem_bwd(res, g):
+    p, t = res
+    dp = (p - t) / jnp.maximum(p * (1.0 - p), 1e-12)  # torch's clamped backward
+    dt = jnp.maximum(jnp.log(1.0 - p), -100.0) - jnp.maximum(jnp.log(p), -100.0)
+    return g * dp, g * dt
+
+
+_bce_elem.defvjp(_bce_elem_fwd, _bce_elem_bwd)
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray, *, sample_weight=None) -> jnp.ndarray:
+    """Binary cross-entropy on probabilities (torch ``nn.BCELoss``), finite
+    in value and grad at saturated probs exactly like torch (see _bce_elem)."""
     p, t = _f32(probs, targets)
-    p = jnp.clip(p, eps, 1.0 - eps)
-    return _wmean(-(t * jnp.log(p) + (1 - t) * jnp.log(1 - p)), sample_weight)
+    return _wmean(_bce_elem(p, t), sample_weight)
 
 
 def bce_with_logits_loss(logits: jnp.ndarray, targets: jnp.ndarray, *, sample_weight=None) -> jnp.ndarray:

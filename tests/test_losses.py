@@ -24,6 +24,25 @@ def test_bce_matches_torch():
     assert abs(got - ref) < 1e-6
 
 
+def test_bce_saturated_probs_finite_loss_and_grad():
+    """torch BCELoss clamps log terms at -100: probs of exactly 0.0/1.0 give
+    finite loss and finite grad. An fp32 epsilon clip cannot reproduce this
+    (1-1e-12 rounds to 1.0) — regression for the NaN that killed train_audio
+    once the sigmoid saturated on a learned fixture."""
+    import jax
+
+    p = np.array([0.0, 1.0, 1.0, 0.5], np.float32)
+    t = np.array([1.0, 0.0, 1.0, 1.0], np.float32)
+    ref = torch.nn.BCELoss()(torch.tensor(p), torch.tensor(t)).item()
+    got, grad = jax.value_and_grad(lambda q: L.bce_loss(q, jnp.asarray(t)))(jnp.asarray(p))
+    assert np.isfinite(float(got)) and abs(float(got) - ref) < 1e-4
+    assert np.all(np.isfinite(np.asarray(grad)))
+    # exact parity with torch's clamped backward (p-t)/max(p(1-p),1e-12)/N
+    tp = torch.tensor(p, requires_grad=True)
+    torch.nn.BCELoss()(tp, torch.tensor(t)).backward()
+    np.testing.assert_allclose(np.asarray(grad), tp.grad.numpy(), rtol=1e-6)
+
+
 def test_bce_with_logits_matches_torch():
     z, t = _pair()
     ref = torch.nn.BCEWithLogitsLoss()(torch.tensor(z), torch.tensor(t)).item()

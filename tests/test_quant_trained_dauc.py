@@ -1,0 +1,352 @@
+"""Trained-weight quantization accuracy: dAUC bounds on every serving engine.
+
+The reference has no quantization — its eval loops are pure-fp torch
+(/root/reference/test_visual.py, test_au_face.py, test_au_patch.py, the
+train_audio.py eval loop) — so the w8a8 serving modes are beyond-parity
+capabilities whose acceptance criterion is BASELINE.json's +-0.5% AUC band.
+Round-3 quant tests anchored accuracy on random-init weights only; these
+tests close that hole: each engine's micro-model is TRAINED on a planted
+class signal first (the same fixtures whose learning the e2e tests assert),
+then fp and w8a8 / refined-w8a8 scorers are compared on held-out clips and
+|AUC_fp - AUC_q| <= 0.005 is asserted — quantization must not flip clip
+rankings a trained detector gets right.
+
+tools/quant_dauc.py imports the train_*_micro helpers to reproduce the same
+measurement on the real TPU (all quant modes incl. the Pallas paths) for the
+PERF.md trained-weight dAUC table.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_deepfake_detection_tpu.data import (
+    make_au_patch_tree,
+    make_face_npy_tree,
+    make_joint_tree,
+)
+from multimodal_deepfake_detection_tpu.metrics import compute_eer_auc
+
+DAUC_TOL = 0.005  # BASELINE.json's +-0.5% AUC acceptance band
+
+
+def _host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def _drive(train_loader, state, train_step, n_epochs):
+    """Run the jitted train_step over the loader for n_epochs epochs."""
+    for epoch in range(n_epochs):
+        for i, (batch, labels, lengths) in enumerate(train_loader):
+            state, _loss, _probs = train_step(state, (batch, labels, lengths), epoch * 100 + i, epoch)
+    return state
+
+
+def _load_split(folder):
+    """Stack all npys of one split (equal shapes) -> (X, labels)."""
+    xs, labels = [], []
+    for name in sorted(os.listdir(folder)):
+        if not name.endswith(".npy") or name.endswith("_weights.npy"):
+            continue
+        xs.append(np.load(os.path.join(folder, name)))
+        labels.append(1 if name.startswith("fake") else 0)
+    return np.stack(xs), np.asarray(labels, np.int32)
+
+
+def _auc(labels, scores):
+    auc, *_ = compute_eer_auc(labels, np.asarray(scores, np.float64))
+    return auc
+
+
+# ---------------------------------------------------------------- visual
+
+def train_visual_micro(workdir, *, epochs=6):
+    """Train XceptionLSTMV+ArcFace on the planted-brightness fixture; return
+    (params, bn_state, calib_frames, test_frames, test_labels)."""
+    from multimodal_deepfake_detection_tpu.cli import train_visual
+
+    train_tree = make_face_npy_tree(
+        os.path.join(workdir, "vis_train"), n_per_class=4, frames=3, size=32, seed=0
+    )
+    test_tree = make_face_npy_tree(
+        os.path.join(workdir, "vis_test"), n_per_class=16, frames=3, size=32, seed=7
+    )
+    config = train_visual.Config(
+        train_folder=f"{train_tree}/train",
+        eval_folder=f"{train_tree}/eval",
+        checkpoint_dir=os.path.join(workdir, "vis_ckpt"),
+        hidden_dim=8,
+        batch_size=4,
+        epochs=1,
+        freeze_epochs=0,
+        buckets=(3,),
+        compute_dtype="float32",
+        lr=1e-3,
+    )
+    train_loader, *_rest, state, train_step, _ = train_visual.build(config)
+    state = _drive(train_loader, state, train_step, epochs)
+    calib, _ = _load_split(f"{train_tree}/train")
+    test_x, test_y = _load_split(f"{test_tree}/test")
+    return _host(state.params), _host(state.bn_state), calib, test_x, test_y
+
+
+@pytest.fixture(scope="module")
+def visual_trained(tmp_path_factory):
+    return train_visual_micro(str(tmp_path_factory.mktemp("qv")))
+
+
+def test_visual_quant_dauc_trained(visual_trained):
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
+
+    params, bn_state, calib, test_x, test_y = visual_trained
+    fp = VisualScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    s_fp = fp.score(test_x)
+    auc_fp = _auc(test_y, s_fp)
+    assert auc_fp >= 0.9, f"fp visual AUC {auc_fp} — fixture not learned"
+    for refine in (0, 1):
+        q = VisualScorer(
+            params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
+        )
+        q.calibrate(calib, refine_passes=refine)
+        s_q = q.score(test_x)
+        dauc = abs(_auc(test_y, s_q) - auc_fp)
+        assert dauc <= DAUC_TOL, f"visual w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
+        assert np.max(np.abs(s_q - s_fp)) < 0.25, "per-clip score drift"
+
+
+# ---------------------------------------------------------------- audio
+
+def make_tone_waves(n_per_class, *, samples=800, seed=0, noise=0.02):
+    """Waveform fixture with a spectral class signal: real = 440 Hz tone,
+    fake = 1800 Hz tone, both + noise with random amplitude/phase. MFCCs
+    separate the classes cleanly, so a few epochs of train_audio learn it."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(samples) / 16000.0
+    waves, labels = [], []
+    for label, f0 in ((0, 440.0), (1, 1800.0)):
+        for _ in range(n_per_class):
+            amp = rng.uniform(0.4, 0.6)
+            phase = rng.uniform(0, 2 * np.pi)
+            w = amp * np.sin(2 * np.pi * f0 * t + phase)
+            w += noise * rng.standard_normal(samples)
+            waves.append(w.astype(np.float32))
+            labels.append(label)
+    return np.stack(waves), np.asarray(labels, np.int32)
+
+
+def train_audio_micro(workdir, *, epochs=6):
+    """Train XceptionLSTMA end-to-end (backbone UNFROZEN so the quantized
+    weights are genuinely trained, unlike the reference's frozen-backbone
+    recipe at XceptionLSTMA.py:11-12) on tone-vs-tone waveforms. The train
+    tree holds MFCC npys computed with ops/mfcc (the exact transform
+    AudioScorer applies on-device), so serving-time inputs match training."""
+    from multimodal_deepfake_detection_tpu.cli import train_audio
+    from multimodal_deepfake_detection_tpu.ops.mfcc import mfcc as mfcc_op
+
+    tree = os.path.join(workdir, "aud")
+    train_waves, train_y = make_tone_waves(6, seed=0)
+    test_waves, test_y = make_tone_waves(12, seed=7)
+    feats = np.asarray(jax.jit(lambda w: mfcc_op(w, center=True))(jnp.asarray(train_waves)))
+    for split in ("train", "eval"):
+        d = os.path.join(tree, split)
+        os.makedirs(d, exist_ok=True)
+        for i, (f, y) in enumerate(zip(feats, train_y)):
+            np.save(os.path.join(d, f"{'fake' if y else 'real'}_{i}.npy"), f)
+    T = feats.shape[1]
+    config = train_audio.Config(
+        train_folder=f"{tree}/train",
+        eval_folder=f"{tree}/eval",
+        checkpoint_dir=os.path.join(workdir, "aud_ckpt"),
+        hidden_dim=16,
+        batch_size=4,
+        epochs=1,
+        buckets=(T,),
+        compute_dtype="float32",
+        lr=2e-3,
+        freeze_backbone=False,
+    )
+    train_loader, _, state, train_step, _ = train_audio.build(config)
+    state = _drive(train_loader, state, train_step, epochs)
+    return _host(state.params), _host(state.bn_state), train_waves, test_waves, test_y
+
+
+@pytest.fixture(scope="module")
+def audio_trained(tmp_path_factory):
+    return train_audio_micro(str(tmp_path_factory.mktemp("qa")))
+
+
+def test_audio_quant_dauc_trained(audio_trained):
+    from multimodal_deepfake_detection_tpu.models.serve import AudioScorer
+
+    params, bn_state, calib_waves, test_waves, test_y = audio_trained
+    fp = AudioScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+    s_fp = fp.score(test_waves)
+    auc_fp = _auc(test_y, s_fp)
+    assert auc_fp >= 0.9, f"fp audio AUC {auc_fp} — fixture not learned"
+    for refine in (0, 1):
+        q = AudioScorer(
+            params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
+        )
+        q.calibrate(calib_waves, refine_passes=refine)
+        s_q = q.score(test_waves)
+        dauc = abs(_auc(test_y, s_q) - auc_fp)
+        assert dauc <= DAUC_TOL, f"audio w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
+
+
+# ---------------------------------------------------------------- AV fused
+
+def test_av_quant_dauc_trained(visual_trained, audio_trained):
+    """Fused AV (BASELINE config 5): quantizing BOTH engines must keep the
+    fused ranking — pairs same-label visual clips with same-label waveforms."""
+    from multimodal_deepfake_detection_tpu.models.serve import AudioScorer, AVScorer, VisualScorer
+
+    vp, vb, vcal, vx, vy = visual_trained
+    ap, ab, acal, aw, ay = audio_trained
+    # pair by label: k-th real face with k-th real waveform, same for fakes
+    n = min(np.sum(vy == 0), np.sum(ay == 0), np.sum(vy == 1), np.sum(ay == 1))
+    vi = np.concatenate([np.where(vy == 0)[0][:n], np.where(vy == 1)[0][:n]])
+    aiw = np.concatenate([np.where(ay == 0)[0][:n], np.where(ay == 1)[0][:n]])
+    frames, waves = vx[vi], aw[aiw]
+    labels = np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
+
+    fp = AVScorer(
+        VisualScorer(vp, vb, compute_dtype=jnp.float32, use_pallas=False),
+        AudioScorer(ap, ab, compute_dtype=jnp.float32, use_pallas=False),
+    )
+    qv = VisualScorer(vp, vb, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8")
+    qv.calibrate(vcal, refine_passes=1)
+    qa = AudioScorer(ap, ab, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8")
+    qa.calibrate(acal, refine_passes=1)
+    q = AVScorer(qv, qa)
+
+    auc_fp = _auc(labels, fp.score(frames, waves))
+    assert auc_fp >= 0.9, f"fp AV AUC {auc_fp}"
+    dauc = abs(_auc(labels, q.score(frames, waves)) - auc_fp)
+    assert dauc <= DAUC_TOL, f"AV w8a8+refine: dAUC {dauc} (fp {auc_fp})"
+
+
+# ---------------------------------------------------------------- au_patch
+
+def train_au_patch_micro(workdir, *, epochs=6):
+    from multimodal_deepfake_detection_tpu.cli import train_au_patch
+
+    train_tree = make_au_patch_tree(
+        os.path.join(workdir, "aup_train"), n_per_class=4, frames=3, n_aus=3, size=16, seed=0
+    )
+    test_tree = make_au_patch_tree(
+        os.path.join(workdir, "aup_test"), n_per_class=12, frames=3, n_aus=3, size=16, seed=7
+    )
+    config = train_au_patch.Config(
+        data_root=train_tree,
+        hidden_dim=8,
+        lstm_hidden=4,
+        batch_size=4,
+        max_frames=3,
+        max_aus=3,
+        image_size=0,
+        compute_dtype="float32",
+        lr=1e-3,
+        augment_train=False,
+    )
+    train_loader, *_rest, state, train_step, _ = train_au_patch.build(config)
+    for epoch in range(epochs):
+        for i, (batch, labels, lengths) in enumerate(train_loader):
+            state, _l, _p = train_step(state, (batch, labels, lengths), epoch * 100 + i, epoch)
+    calib, _ = _load_split(f"{train_tree}/train")
+    test_x, test_y = _load_split(f"{test_tree}/test")
+    return _host(state.params), _host(state.bn_state), calib, test_x, test_y
+
+
+@pytest.fixture(scope="module")
+def au_patch_trained(tmp_path_factory):
+    return train_au_patch_micro(str(tmp_path_factory.mktemp("qp")))
+
+
+def test_au_patch_quant_dauc_trained(au_patch_trained):
+    from multimodal_deepfake_detection_tpu.models.serve import AUPatchScorer
+
+    params, bn_state, calib, test_x, test_y = au_patch_trained
+    fp = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32)
+    s_fp = fp.score(test_x)
+    auc_fp = _auc(test_y, s_fp)
+    assert auc_fp >= 0.9, f"fp au_patch AUC {auc_fp} — fixture not learned"
+    for refine in (0, 1):
+        q = AUPatchScorer(params, bn_state, compute_dtype=jnp.float32, quantize="w8a8")
+        q.calibrate(calib, refine_passes=refine)
+        dauc = abs(_auc(test_y, q.score(test_x)) - auc_fp)
+        assert dauc <= DAUC_TOL, f"au_patch w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
+
+
+# ---------------------------------------------------------------- au_face
+
+def train_au_face_micro(workdir, *, epochs=10):
+    """Train AUFaceCrossDetector; score via its own logits head exactly as
+    AUFaceScorer/the reference eval do (/root/reference/test_au_face.py:147-184).
+    That head gets no direct gradient (training supervises ArcFace on pooled
+    embeddings), so the fp score orientation is resolved with the reference's
+    sign auto-flip (:294-301) and the SAME orientation is applied to the
+    quantized scores — dAUC then measures backbone-quantization drift only."""
+    from multimodal_deepfake_detection_tpu.cli import train_au_face
+
+    v, a = make_joint_tree(
+        os.path.join(workdir, "jf_v"), os.path.join(workdir, "jf_a"),
+        n_per_class=4, frames=3, n_aus=3, face_size=24, patch_size=16, seed=0,
+    )
+    vt, at = make_joint_tree(
+        os.path.join(workdir, "jt_v"), os.path.join(workdir, "jt_a"),
+        n_per_class=12, frames=3, n_aus=3, face_size=24, patch_size=16, seed=7,
+    )
+    config = train_au_face.Config(
+        video_root=v,
+        au_root=a,
+        num_aus=3,
+        face_dim=16,
+        au_dim=16,
+        lstm_hidden=8,
+        embed_dim=8,
+        batch_size=4,
+        max_frames=3,
+        image_size=0,
+        accum_steps=1,
+        weighted_sampler=False,
+        epochs=epochs,
+        max_lr=5e-3,
+        compute_dtype="float32",
+    )
+    train_loader, *_rest, state, train_step, _ = train_au_face.build(config)
+    for epoch in range(epochs):
+        for i, (batch, labels, lengths) in enumerate(train_loader):
+            state, _l, _p = train_step(state, (batch, labels, lengths), epoch * 100 + i, epoch)
+    calib_v, _ = _load_split(f"{v}/train")
+    calib_a, _ = _load_split(f"{a}/train")
+    test_v, test_y = _load_split(f"{vt}/test")
+    test_a, _ = _load_split(f"{at}/test")
+    # eval uses the EMA detector (train_au_face.py raw_eval / on_best)
+    params = _host(state.ema.params["model"])
+    bn = _host(state.bn_state["model"])
+    return params, bn, (calib_v, calib_a), (test_v, test_a), test_y
+
+
+@pytest.fixture(scope="module")
+def au_face_trained(tmp_path_factory):
+    return train_au_face_micro(str(tmp_path_factory.mktemp("qf")))
+
+
+def test_au_face_quant_dauc_trained(au_face_trained):
+    from multimodal_deepfake_detection_tpu.models.serve import AUFaceScorer
+
+    params, bn_state, (calib_v, calib_a), (test_v, test_a), test_y = au_face_trained
+    fp = AUFaceScorer(params, bn_state, compute_dtype=jnp.float32)
+    s_fp = np.asarray(fp.score(test_v, test_a), np.float64)
+    flip = _auc(test_y, 1.0 - s_fp) > _auc(test_y, s_fp)  # reference sign auto-flip
+    orient = (lambda s: 1.0 - s) if flip else (lambda s: s)
+    auc_fp = _auc(test_y, orient(s_fp))
+    for refine in (0, 1):
+        q = AUFaceScorer(params, bn_state, compute_dtype=jnp.float32, quantize="w8a8")
+        q.calibrate(calib_v, calib_a, refine_passes=refine)
+        s_q = np.asarray(q.score(test_v, test_a), np.float64)
+        dauc = abs(_auc(test_y, orient(s_q)) - auc_fp)
+        assert dauc <= DAUC_TOL, f"au_face w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
