@@ -55,6 +55,17 @@ class Config:
     # rematerialize backbone blocks in the backward pass (jax.checkpoint)
     remat: bool = False
     freeze_backbone: bool = True  # reference freezes Xception (XceptionLSTMA.py:11-12)
+    # Quality mode: run the frozen backbone's BN in eval mode (running stats,
+    # no stat updates) inside the train step. The reference freezes params
+    # only and leaves BN in train mode (XceptionLSTMA.py:11-12) — that
+    # bit-for-bit behavior stays the default.
+    backbone_bn_eval: bool = False
+    # Compute the invariant frozen-backbone features ONCE (first epoch) and
+    # train the LSTM/MLP head on cached 2048-d features thereafter — an
+    # order-of-magnitude epoch-time lever. Requires freeze_backbone and
+    # implies backbone_bn_eval (caching is exact only with eval-BN features;
+    # see train/feature_cache.py for the fidelity caveat and RAM cost).
+    cache_features: bool = False
     native_loader: bool = False  # C++ batched npy collate (native/npy_collate.cc)
     jsonl_log: Optional[str] = None  # path for structured per-epoch JSONL metrics
     tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
@@ -86,16 +97,46 @@ def build(config: Config, train_ds=None, eval_ds=None):
     tx = make_optimizer("adam", config.lr)
     state = TrainState(jnp.zeros((), jnp.int32), params, bn_state, tx.init(params))
 
+    backbone_bn_eval = config.backbone_bn_eval
+    if config.cache_features:
+        if not config.freeze_backbone:
+            raise ValueError("--cache_features requires --freeze_backbone (the cached "
+                             "features are only invariant for a frozen backbone)")
+        backbone_bn_eval = True  # caching is exact only with eval-BN features
+        from ..train.feature_cache import FeatureCachingLoader
+
+        # feat_src is a mutable box so main() can point it at a RESUMED
+        # state's backbone before the first epoch (frozen params are normally
+        # identical to init, but only when the seeds match). Host copies: the
+        # live state buffers get DONATED by the first train step, and the
+        # eval loader only computes its cache after that.
+        feat_src = jax.tree_util.tree_map(
+            np.asarray, {"params": params, "bn_state": bn_state}
+        )
+        feat_jit = jax.jit(
+            lambda p, b, x: xception_lstm_features(
+                p, b, x, mode="audio", train=False, compute_dtype=cdtype
+            )[0]
+        )
+        feat_fn = lambda x: feat_jit(feat_src["params"], feat_src["bn_state"], x)
+        train_loader = FeatureCachingLoader(train_loader, feat_fn)
+        eval_loader = FeatureCachingLoader(eval_loader, feat_fn)
+        train_loader.feat_src = eval_loader.feat_src = feat_src
+
     mesh = auto_data_mesh(config.batch_size)
     if mesh is not None:
         state = replicate(mesh, state)
 
     def _forward(params, bn_state, rng, batch, train):
         x, labels, lengths = batch
-        feats, new_bn = xception_lstm_features(
-            params, bn_state, x, mode="audio", train=train, compute_dtype=cdtype,
-            remat=config.remat and train,
-        )
+        if config.cache_features:
+            feats, new_bn = x, bn_state  # x already IS the cached (B,T,2048) features
+        else:
+            feats, new_bn = xception_lstm_features(
+                params, bn_state, x, mode="audio",
+                train=train and not backbone_bn_eval, compute_dtype=cdtype,
+                remat=config.remat and train,
+            )
         probs = xception_lstm_head_apply(
             params,
             feats,
@@ -159,6 +200,10 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
 
             state = load_state(config.resume, like=state)
             log(f"resumed train state from {config.resume} (step {int(state.step)})")
+        if config.cache_features and hasattr(train_loader, "feat_src"):
+            # cache features with the RESUMED (frozen) backbone, not the init one
+            host = jax.tree_util.tree_map(lambda x: np.asarray(x), (state.params, state.bn_state))
+            train_loader.feat_src["params"], train_loader.feat_src["bn_state"] = host
 
     def on_best(state, result):
         # best-eval-loss export, reference policy (/root/reference/train_audio.py:84-88)

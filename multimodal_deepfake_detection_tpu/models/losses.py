@@ -45,7 +45,12 @@ def _bce_elem(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     direction Adam then renormalizes. A plain epsilon clip on ``p`` cannot do
     this in fp32 (1 - 1e-12 rounds to 1.0, reviving log(0) = -inf and a NaN
     grad — observed killing train_audio once a learned fixture saturated the
-    sigmoid), and autodiff through a log clamp yields 0 * inf = NaN instead."""
+    sigmoid), and autodiff through a log clamp yields 0 * inf = NaN instead.
+
+    Deliberate deviation: the target-side cotangent reuses the clamped log
+    terms, so d/dt is bounded at +-200 where torch's is infinite at saturated
+    p. Nothing in the framework differentiates w.r.t. targets (labels are
+    data), so the parity scope is p-gradients only — torch-exact there."""
     log_p = jnp.maximum(jnp.log(p), -100.0)
     log_1mp = jnp.maximum(jnp.log(1.0 - p), -100.0)
     return -(t * log_p + (1 - t) * log_1mp)

@@ -17,6 +17,8 @@ from multimodal_deepfake_detection_tpu.data import (
     make_joint_tree,
 )
 
+pytestmark = pytest.mark.slow  # micro-training e2e
+
 
 @pytest.fixture(scope="module")
 def patch_tree(tmp_path_factory):

@@ -28,6 +28,8 @@ import jax  # noqa: E402
 from multimodal_deepfake_detection_tpu.cli import import_torch, test_av_fused, test_visual  # noqa: E402
 from torch_mirror import MirrorXception  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-mirror AUC parity e2e
+
 HIDDEN = 8
 BATCH = 2
 AUC_TOL = 0.005  # the +/-0.5% north-star

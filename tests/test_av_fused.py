@@ -7,6 +7,8 @@ import pytest
 from multimodal_deepfake_detection_tpu.cli import test_av_fused, train_audio, train_visual
 from multimodal_deepfake_detection_tpu.data import make_audio_npy_tree, make_face_npy_tree
 
+pytestmark = pytest.mark.slow  # full-mesh AV fused eval
+
 
 @pytest.fixture(scope="module")
 def av_trees(tmp_path_factory):

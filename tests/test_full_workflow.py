@@ -5,6 +5,8 @@
 i.e. reference layers L0 -> L1 -> L4 end-to-end on synthetic media — the
 migration story a reference user follows, executed in one test.
 """
+import pytest
+
 import os
 
 import cv2
@@ -12,6 +14,8 @@ import numpy as np
 
 from multimodal_deepfake_detection_tpu.cli import test_visual, train_visual
 from multimodal_deepfake_detection_tpu.data.preprocess import process_uadfv_faces
+
+pytestmark = pytest.mark.slow  # raw-video -> preprocess -> train -> metrics workflow
 
 
 def _write_video(path, n_frames, base, size=48, seed=0):

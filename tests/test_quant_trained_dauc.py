@@ -30,6 +30,8 @@ from multimodal_deepfake_detection_tpu.data import (
 )
 from multimodal_deepfake_detection_tpu.metrics import compute_eer_auc
 
+pytestmark = pytest.mark.slow  # module-scoped micro-training fixtures + quantized scorer compiles
+
 DAUC_TOL = 0.005  # BASELINE.json's +-0.5% AUC acceptance band
 
 

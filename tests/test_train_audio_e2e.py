@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from multimodal_deepfake_detection_tpu.cli.train_audio import Config, build, main
 from multimodal_deepfake_detection_tpu.data import make_audio_npy_tree
 
+pytestmark = pytest.mark.slow  # micro-training e2e
+
 
 @pytest.fixture(scope="module")
 def audio_tree(tmp_path_factory):
@@ -89,3 +91,60 @@ def test_train_audio_learns_signal(audio_tree, tmp_path):
         auc, *_ = compute_eer_auc(labels_all, probs_all)
         aucs.append(auc)
     assert max(aucs[2:]) > 0.7, f"AUCs {aucs}"
+
+
+def test_cache_features_equivalence(audio_tree, tmp_path):
+    """--cache_features must reproduce the uncached eval-BN quality-mode run
+    exactly: same per-epoch losses and same final params after several epochs
+    (train/feature_cache.py — the frozen-backbone epoch-time lever)."""
+    import jax
+
+    def run(cache):
+        config = Config(
+            train_folder=f"{audio_tree}/train",
+            eval_folder=f"{audio_tree}/eval",
+            checkpoint_dir=str(tmp_path / f"cf_{int(cache)}"),
+            hidden_dim=16,
+            batch_size=4,
+            epochs=1,
+            buckets=(10,),
+            compute_dtype="float32",
+            lr=1e-3,
+            freeze_backbone=True,
+            backbone_bn_eval=True,
+            cache_features=cache,
+        )
+        train_loader, eval_loader, state, train_step, eval_step = build(config)
+        losses = []
+        for epoch in range(3):
+            for i, (batch, labels, lengths) in enumerate(train_loader):
+                state, loss, _ = train_step(state, (batch, labels, lengths), epoch * 100 + i, epoch)
+                losses.append(float(loss))
+        eval_losses, eval_probs = [], []
+        for batch, labels, lengths in eval_loader:
+            loss, probs = eval_step(state, (batch, labels, lengths))
+            eval_losses.append(float(loss))
+            eval_probs.append(np.asarray(probs).ravel())
+        params = jax.tree_util.tree_map(np.asarray, state.params)
+        return losses, eval_losses, np.concatenate(eval_probs), params
+
+    losses_u, ev_u, probs_u, params_u = run(False)
+    losses_c, ev_c, probs_c, params_c = run(True)
+    np.testing.assert_allclose(losses_c, losses_u, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ev_c, ev_u, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(probs_c, probs_u, rtol=1e-5, atol=1e-6)
+    flat_u = jax.tree_util.tree_leaves(params_u)
+    flat_c = jax.tree_util.tree_leaves(params_c)
+    for a, b in zip(flat_c, flat_u):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_cache_features_requires_frozen(audio_tree, tmp_path):
+    config = Config(
+        train_folder=f"{audio_tree}/train",
+        eval_folder=f"{audio_tree}/eval",
+        freeze_backbone=False,
+        cache_features=True,
+    )
+    with pytest.raises(ValueError, match="cache_features"):
+        build(config)

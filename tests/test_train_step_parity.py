@@ -58,6 +58,8 @@ from multimodal_deepfake_detection_tpu.models.heads import (  # noqa: E402
     xception_lstm_features,
 )
 from multimodal_deepfake_detection_tpu.models.losses import cross_entropy_loss  # noqa: E402
+
+pytestmark = pytest.mark.slow  # fp64 full-model grad-step parity vs torch (~2.5 min)
 from multimodal_deepfake_detection_tpu.train import TrainState  # noqa: E402
 from multimodal_deepfake_detection_tpu.train.steps import make_train_step  # noqa: E402
 from test_auc_parity_e2e import _TorchVisualRef  # noqa: E402

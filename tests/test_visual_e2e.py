@@ -13,6 +13,8 @@ import pytest
 from multimodal_deepfake_detection_tpu.cli import test_visual, train_visual
 from multimodal_deepfake_detection_tpu.data import make_face_npy_tree
 
+pytestmark = pytest.mark.slow  # micro-training e2e
+
 
 @pytest.fixture(scope="module")
 def face_tree(tmp_path_factory):
