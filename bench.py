@@ -75,6 +75,14 @@ def main():
         help="also measure the opt-in w8a8 quantized serving path (supplementary "
         "fields; the headline stays the exact-semantics fp path)",
     )
+    parser.add_argument(
+        "--families",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="also certify the non-flagship engines (audio clips/s, AU face & "
+        "patch fp + w8a8) via tools/aubench.py as a bounded subprocess",
+    )
+    parser.add_argument("--families-timeout", type=float, default=1500.0)
     args = parser.parse_args()
 
     import jax
@@ -331,6 +339,35 @@ def main():
             )
         except Exception as e:  # never lose the serving benchmark to this
             print(f"[bench] train measurement failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if args.families and platform != "cpu":
+        # Certify every model family in the driver-visible record, not just
+        # the flagship: audio (raw-waveform serving clips/s) and the two AU
+        # engines, fp + w8a8 — measured by the tools/aubench.py chained-K
+        # harness in a bounded subprocess (its last stdout line is JSON).
+        try:
+            import subprocess
+
+            tool = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools", "aubench.py"
+            )
+            cp = subprocess.run(
+                [sys.executable, tool, "--quant", "--which", "au_face,au_patch,audio"],
+                capture_output=True, text=True, timeout=args.families_timeout,
+            )
+            fam = json.loads(cp.stdout.strip().splitlines()[-1])
+            for k in (
+                "audio_ms", "audio_clips_per_sec", "audio_seconds",
+                "audio_w8a8_ms", "audio_w8a8_clips_per_sec", "audio_w8a8_score_cos",
+                "au_face_ms", "au_face_clips_per_sec", "au_face_frames_per_sec",
+                "au_face_w8a8_ms", "au_face_w8a8_clips_per_sec", "au_face_w8a8_logit_cos",
+                "au_patch_ms", "au_patch_clips_per_sec",
+                "au_patch_w8a8_ms", "au_patch_w8a8_clips_per_sec", "au_patch_w8a8_logit_cos",
+            ):
+                if k in fam:
+                    record[k] = fam[k]
+        except Exception as e:  # never lose the headline to the family extras
+            print(f"[bench] family measurements failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(json.dumps(record))
 

@@ -84,6 +84,16 @@ class Config:
     eval_with_margin: bool = True
     # rematerialize backbone blocks in the backward pass (jax.checkpoint)
     remat: bool = False
+    # Quality mode: run the backbone's BN in eval mode during its FROZEN
+    # epochs (running stats, no stat updates). The reference freezes params
+    # only and leaves BN in train mode; that stays the default.
+    backbone_bn_eval: bool = False
+    # Serve the frozen-phase epochs (epoch < freeze_epochs) from a one-shot
+    # feature cache, switching to raw frames at the unfreeze epoch — the
+    # invariant backbone forward is computed once instead of freeze_epochs
+    # times. Requires shuffle=False and freeze_epochs > 0; implies
+    # backbone_bn_eval during the frozen phase (see train/feature_cache.py).
+    cache_features: bool = False
     jsonl_log: Optional[str] = None  # structured per-epoch JSONL metrics
     tracker: Optional[str] = None  # extra sinks: 'tensorboard:<dir>' and/or 'wandb:<project>'
     # threaded decode fan-out per batch (reference num_workers=2,
@@ -136,16 +146,50 @@ def build(config: Config, train_ds=None, eval_ds=None):
     tx = make_optimizer("adam", config.lr, weight_decay=config.weight_decay, grad_clip=config.grad_clip)
     state = TrainState(jnp.zeros((), jnp.int32), params, bn_state, tx.init(params))
 
+    backbone_bn_eval = config.backbone_bn_eval or config.cache_features
+    if config.cache_features:
+        if config.freeze_epochs <= 0:
+            raise ValueError("--cache_features requires freeze_epochs > 0 (it caches "
+                             "the frozen-phase backbone forward)")
+        if config.shuffle:
+            raise ValueError("--cache_features requires --shuffle false (the cached "
+                             "phase replays the epoch-0 batch order)")
+        import numpy as np
+
+        from ..train.feature_cache import PhaseSwitchLoader, _EpochCounter
+
+        feat_src = jax.tree_util.tree_map(  # host copies: live buffers get donated
+            np.asarray, {"params": params, "bn_state": bn_state}
+        )
+        feat_jit = jax.jit(
+            lambda p, b, x: xception_lstm_features(
+                p, b, x, mode="video", train=False, compute_dtype=cdtype
+            )[0]
+        )
+        feat_fn = lambda x: feat_jit(feat_src["params"], feat_src["bn_state"], x)
+        ctr = _EpochCounter()
+        train_loader = PhaseSwitchLoader(
+            train_loader, feat_fn, switch_epoch=config.freeze_epochs, counter=ctr, role="train"
+        )
+        eval_loader = PhaseSwitchLoader(
+            eval_loader, feat_fn, switch_epoch=config.freeze_epochs, counter=ctr, role="eval"
+        )
+        train_loader.feat_src = eval_loader.feat_src = feat_src
+
     mesh = auto_data_mesh(config.batch_size)
     if mesh is not None:
         state = replicate(mesh, state)
 
-    def _forward(params, bn_state, rng, batch, train):
+    def _forward(params, bn_state, rng, batch, train, bb_eval=False):
         video, labels, lengths = batch
-        feats, new_bn = xception_lstm_features(
-            params, bn_state, video, mode="video", train=train, compute_dtype=cdtype,
-            remat=config.remat and train,
-        )
+        if video.ndim == 3:  # cached (B, T, F) frozen-phase features
+            feats, new_bn = video, bn_state
+        else:
+            feats, new_bn = xception_lstm_features(
+                params, bn_state, video, mode="video",
+                train=train and not bb_eval, compute_dtype=cdtype,
+                remat=config.remat and train,
+            )
         emb = xception_lstm_embed(
             params, feats, lengths=lengths, mask_padding=config.mask_padding, compute_dtype=cdtype
         )
@@ -163,17 +207,24 @@ def build(config: Config, train_ds=None, eval_ds=None):
         loss, new_bn, probs = _forward(params, bn_state, rng, batch, True)
         return loss, (new_bn, probs)
 
+    def train_forward_bneval(params, bn_state, rng, batch):
+        loss, new_bn, probs = _forward(params, bn_state, rng, batch, True, bb_eval=True)
+        return loss, (new_bn, probs)
+
     def eval_forward(params, bn_state, batch):
         loss, _, probs = _forward(params, bn_state, None, batch, False)
         return loss, probs
 
     raw_train_step = make_train_step(train_forward, tx)
+    raw_train_step_bneval = make_train_step(train_forward_bneval, tx) if backbone_bn_eval else None
     raw_eval_step = make_eval_step(eval_forward)
 
     def train_step(state, batch, rng_seed, epoch):
-        frozen = ("backbone",) if epoch < config.freeze_epochs else ()
+        frozen_now = epoch < config.freeze_epochs
+        frozen = ("backbone",) if frozen_now else ()
         batch = shard_batch(mesh, batch) if mesh is not None else batch
-        return raw_train_step(state, batch, rng_seed, frozen)
+        step = raw_train_step_bneval if (frozen_now and backbone_bn_eval) else raw_train_step
+        return step(state, batch, rng_seed, frozen)
 
     def eval_step(state, batch):
         batch = shard_batch(mesh, batch) if mesh is not None else batch
@@ -208,6 +259,12 @@ def main(argv=None, *, train_ds=None, eval_ds=None, log=print):
         else:
             state = load_state(config.resume, like=state)
             log(f"resumed train state from {config.resume} (step {int(state.step)})")
+        if config.cache_features and hasattr(train_loader, "feat_src"):
+            import numpy as _np
+
+            # cache features with the RESUMED (frozen) backbone, not the init one
+            host = jax.tree_util.tree_map(_np.asarray, (state.params, state.bn_state))
+            train_loader.feat_src["params"], train_loader.feat_src["bn_state"] = host
 
     import numpy as np
 

@@ -24,7 +24,7 @@ reference pass, and the quantized pass can never drift apart:
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -227,19 +227,25 @@ def xception_quant_walk(
     return (out, obs) if observe else out
 
 
+@lru_cache(maxsize=None)
+def _calibrate_xception_fn(compute_dtype):
+    # module-cached: repeated scorer.calibrate() calls (e.g. the refine=0 and
+    # refine=1 variants of a dAUC comparison) reuse one compiled observe walk
+    return jax.jit(
+        partial(
+            xception_quant_walk, observe=True, quant=False,
+            compute_dtype=compute_dtype, features_only=True,
+        )
+    )
+
+
 def calibrate_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
     """Per-site input amaxes of the fp folded forward over a calibration batch.
 
     ``calib_x`` is one representative (B, H, W, 3) batch (serving-normalized,
     i.e. /255). Returns {site: float amax} in walk order.
     """
-    fn = jax.jit(
-        partial(
-            xception_quant_walk, observe=True, quant=False,
-            compute_dtype=compute_dtype, features_only=True,
-        )
-    )
-    _, obs = fn(folded_params, calib_x)
+    _, obs = _calibrate_xception_fn(compute_dtype)(folded_params, calib_x)
     return {k: float(v) for k, v in obs.items()}
 
 
@@ -552,11 +558,15 @@ def resnet18_quant_walk(
     return (out, obs) if observe else out
 
 
-def calibrate_resnet18_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
-    fn = jax.jit(
+@lru_cache(maxsize=None)
+def _calibrate_resnet18_fn(compute_dtype):
+    return jax.jit(
         partial(resnet18_quant_walk, observe=True, quant=False, compute_dtype=compute_dtype)
     )
-    _, obs = fn(folded_params, calib_x)
+
+
+def calibrate_resnet18_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
+    _, obs = _calibrate_resnet18_fn(compute_dtype)(folded_params, calib_x)
     return {k: float(v) for k, v in obs.items()}
 
 

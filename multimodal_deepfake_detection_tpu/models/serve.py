@@ -51,6 +51,24 @@ def _mid_interpret(scorer, mid_pallas: bool) -> bool:
     return not _use_pallas_default()
 
 
+# One jitted program per scoring CONFIG, shared by every scorer instance with
+# that config (keyed additionally by jit's own input-structure cache): without
+# this, each instance's ``jax.jit(partial(self._score_impl))`` is a distinct
+# callable and XLA recompiles the identical program per instance — e.g. the
+# fp + w8a8(refine=0) + w8a8(refine=1) scorers a dAUC comparison builds, or a
+# serving daemon hot-swapping weight trees. Config keys are hashable tuples of
+# everything the trace reads from ``self``.
+_SCORE_JIT_CACHE: dict = {}
+
+
+def _shared_score_jit(key, make_fn):
+    fn = _SCORE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(make_fn())
+        _SCORE_JIT_CACHE[key] = fn
+    return fn
+
+
 class _ShardedScoringMixin:
     """Mesh-sharded batch scoring shared by the serving engines.
 
@@ -86,6 +104,38 @@ class _ShardedScoringMixin:
                 a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
             out.append(jax.device_put(a, data_sharding(self.mesh)))
         return out
+
+
+def _visual_frames_to_x(frames_u8, frame_size):
+    x = frames_u8.reshape((-1,) + frames_u8.shape[2:]).astype(jnp.float32) / 255.0
+    if frame_size is not None and x.shape[1:3] != tuple(frame_size):
+        x = resize_bilinear(x, frame_size)
+    return x
+
+
+def _visual_score(cfg, backbone, head, frames_u8, lengths):
+    """Pure scoring body for VisualScorer (shared-jit per cfg; see _cfg)."""
+    arcface_s, frame_size, mask_padding, cdtype, use_pallas, quantize, interpret = cfg
+    B, T = frames_u8.shape[:2]
+    x = _visual_frames_to_x(frames_u8, frame_size)
+    if "w_q" in backbone["conv1"]:  # quantized tree (trace-time branch)
+        from .quant import xception_quant_walk
+
+        mid_pallas = quantize in ("w8a8-hybrid", "w8a8-pallas")
+        feats = xception_quant_walk(
+            backbone, x, quant=True, compute_dtype=cdtype,
+            features_only=True, middle_pallas=mid_pallas,
+            pallas_interpret=interpret,
+        ).reshape(B, T, -1)
+    else:
+        feats = folded_xception_apply(
+            backbone, x, compute_dtype=cdtype, features_only=True,
+            use_pallas=use_pallas,
+        ).reshape(B, T, -1)
+    outputs, _ = lstm_apply(head["lstm"], feats, compute_dtype=cdtype)
+    emb = select_last_step(outputs, lengths, mask_padding=mask_padding)
+    logits = arcface_apply(head["arcface"], emb, None, s=arcface_s)
+    return jax.nn.softmax(logits, axis=-1)[:, 1]
 
 
 def _load_visual_bundle(path: str, hidden_dim: int, seed: int = 0):
@@ -171,14 +221,21 @@ class VisualScorer(_ShardedScoringMixin):
         # set of shapes instead of one compile per distinct clip length
         self.buckets = tuple(buckets) if buckets else None
         self._init_mesh(mesh)
-        self._score = jax.jit(partial(self._score_impl))
+        cfg = self._cfg()
+        self._score = _shared_score_jit(("visual", cfg), lambda: partial(_visual_score, cfg))
+
+    def _cfg(self) -> tuple:
+        """Hashable tuple of everything the traced program reads from self."""
+        mid_pallas = self.quantize in ("w8a8-hybrid", "w8a8-pallas")
+        return (
+            float(self.arcface_s),
+            tuple(self.frame_size) if self.frame_size is not None else None,
+            bool(self.mask_padding), self.compute_dtype, bool(self.use_pallas),
+            self.quantize, _mid_interpret(self, mid_pallas),
+        )
 
     def _frames_to_x(self, frames_u8):
-        B, T = frames_u8.shape[:2]
-        x = frames_u8.reshape((B * T,) + frames_u8.shape[2:]).astype(jnp.float32) / 255.0
-        if self.frame_size is not None and x.shape[1:3] != tuple(self.frame_size):
-            x = resize_bilinear(x, self.frame_size)
-        return x
+        return _visual_frames_to_x(frames_u8, self._cfg()[1])
 
     def calibrate(self, frames_u8: np.ndarray, *, refine_passes: int = 0) -> None:
         """Fit w8a8 activation scales on a representative uint8 frame batch
@@ -209,26 +266,9 @@ class VisualScorer(_ShardedScoringMixin):
         )
 
     def _score_impl(self, backbone, head, frames_u8, lengths):
-        B, T = frames_u8.shape[:2]
-        x = self._frames_to_x(frames_u8)
-        if "w_q" in backbone["conv1"]:  # quantized tree (trace-time branch)
-            from .quant import xception_quant_walk
-
-            mid_pallas = self.quantize in ("w8a8-hybrid", "w8a8-pallas")
-            feats = xception_quant_walk(
-                backbone, x, quant=True, compute_dtype=self.compute_dtype,
-                features_only=True, middle_pallas=mid_pallas,
-                pallas_interpret=_mid_interpret(self, mid_pallas),
-            ).reshape(B, T, -1)
-        else:
-            feats = folded_xception_apply(
-                backbone, x, compute_dtype=self.compute_dtype, features_only=True,
-                use_pallas=self.use_pallas,
-            ).reshape(B, T, -1)
-        outputs, _ = lstm_apply(head["lstm"], feats, compute_dtype=self.compute_dtype)
-        emb = select_last_step(outputs, lengths, mask_padding=self.mask_padding)
-        logits = arcface_apply(head["arcface"], emb, None, s=self.arcface_s)
-        return jax.nn.softmax(logits, axis=-1)[:, 1]
+        # re-resolves the config at call time so models/export.py's
+        # _force_pallas_interpret override reaches the trace
+        return _visual_score(self._cfg(), backbone, head, frames_u8, lengths)
 
     def score(self, frames_u8: np.ndarray, lengths: Optional[np.ndarray] = None) -> np.ndarray:
         """frames_u8: (B, T, H, W, 3) uint8 -> fake probabilities (B,)."""
@@ -250,6 +290,40 @@ class VisualScorer(_ShardedScoringMixin):
         backbone = self._qbackbone if self._qbackbone is not None else self.folded_backbone
         out = self._score(backbone, self.head_params, frames_u8, lengths)
         return np.asarray(out)[:B]
+
+
+def _audio_wave_to_imgs(waveforms, mfcc_kw, centered: bool):
+    # waveform -> MFCC -> channel-triple -> (13,1)->64x64 images, on device
+    feats_mfcc = mfcc_op(waveforms, center=centered, **dict(mfcc_kw))  # (B, T, 13)
+    B, T, n = feats_mfcc.shape
+    imgs = feats_mfcc.reshape(B * T, n, 1, 1)
+    imgs = jnp.broadcast_to(imgs, (B * T, n, 1, 3))  # channel-triple
+    imgs = resize_bilinear(imgs, (64, 64))
+    return imgs, B, T
+
+
+def _audio_score(cfg, backbone, head, waveforms, lengths):
+    """Pure scoring body for AudioScorer (shared-jit per cfg; see _cfg)."""
+    mfcc_kw, mask_padding, cdtype, use_pallas, quantize, interpret, centered = cfg
+    imgs, B, T = _audio_wave_to_imgs(waveforms, mfcc_kw, centered)
+    if "w_q" in backbone["conv1"]:  # quantized tree (trace-time branch)
+        from .quant import xception_quant_walk
+
+        mid_pallas = quantize in ("w8a8-hybrid", "w8a8-pallas")
+        feats = xception_quant_walk(
+            backbone, imgs, quant=True, compute_dtype=cdtype,
+            features_only=True, middle_pallas=mid_pallas,
+            pallas_interpret=interpret,
+        ).reshape(B, T, -1)
+    else:
+        feats = folded_xception_apply(
+            backbone, imgs, compute_dtype=cdtype, features_only=True,
+            use_pallas=use_pallas,
+        ).reshape(B, T, -1)
+    return xception_lstm_head_apply(
+        head, feats, lengths=lengths, mask_padding=mask_padding,
+        compute_dtype=cdtype,
+    )[:, 0]
 
 
 class AudioScorer(_ShardedScoringMixin):
@@ -297,17 +371,23 @@ class AudioScorer(_ShardedScoringMixin):
         # are masked off via frame lengths.
         self.sample_buckets = tuple(sorted(sample_buckets)) if sample_buckets else None
         self._init_mesh(mesh)
-        self._score = jax.jit(partial(self._score_impl, centered=True))
-        self._score_uncentered = jax.jit(partial(self._score_impl, centered=False))
+        cfg_c, cfg_u = self._cfg(True), self._cfg(False)
+        self._score = _shared_score_jit(("audio", cfg_c), lambda: partial(_audio_score, cfg_c))
+        self._score_uncentered = _shared_score_jit(
+            ("audio", cfg_u), lambda: partial(_audio_score, cfg_u)
+        )
+
+    def _cfg(self, centered: bool) -> tuple:
+        """Hashable tuple of everything the traced program reads from self."""
+        mid_pallas = self.quantize in ("w8a8-hybrid", "w8a8-pallas")
+        return (
+            tuple(sorted(self.mfcc_kw.items())), bool(self.mask_padding),
+            self.compute_dtype, bool(self.use_pallas), self.quantize,
+            _mid_interpret(self, mid_pallas), bool(centered),
+        )
 
     def _wave_to_imgs(self, waveforms, centered: bool):
-        # waveform -> MFCC -> channel-triple -> (13,1)->64x64 images, on device
-        feats_mfcc = mfcc_op(waveforms, center=centered, **self.mfcc_kw)  # (B, T, 13)
-        B, T, n = feats_mfcc.shape
-        imgs = feats_mfcc.reshape(B * T, n, 1, 1)
-        imgs = jnp.broadcast_to(imgs, (B * T, n, 1, 3))  # channel-triple
-        imgs = resize_bilinear(imgs, (64, 64))
-        return imgs, B, T
+        return _audio_wave_to_imgs(waveforms, self.mfcc_kw, centered)
 
     def calibrate(self, waveforms: np.ndarray, *, refine_passes: int = 0) -> None:
         """Fit w8a8 activation scales on a representative waveform batch
@@ -336,25 +416,9 @@ class AudioScorer(_ShardedScoringMixin):
         )
 
     def _score_impl(self, backbone, head, waveforms, lengths, centered: bool = True):
-        imgs, B, T = self._wave_to_imgs(waveforms, centered)
-        if "w_q" in backbone["conv1"]:  # quantized tree (trace-time branch)
-            from .quant import xception_quant_walk
-
-            mid_pallas = self.quantize in ("w8a8-hybrid", "w8a8-pallas")
-            feats = xception_quant_walk(
-                backbone, imgs, quant=True, compute_dtype=self.compute_dtype,
-                features_only=True, middle_pallas=mid_pallas,
-                pallas_interpret=_mid_interpret(self, mid_pallas),
-            ).reshape(B, T, -1)
-        else:
-            feats = folded_xception_apply(
-                backbone, imgs, compute_dtype=self.compute_dtype, features_only=True,
-                use_pallas=self.use_pallas,
-            ).reshape(B, T, -1)
-        return xception_lstm_head_apply(
-            head, feats, lengths=lengths, mask_padding=self.mask_padding,
-            compute_dtype=self.compute_dtype,
-        )[:, 0]
+        # re-resolves the config at call time so models/export.py's
+        # _force_pallas_interpret override reaches the trace
+        return _audio_score(self._cfg(centered), backbone, head, waveforms, lengths)
 
     def score(
         self,
@@ -449,6 +513,30 @@ def _load_au_face_bundle(path: str, *, num_aus: int = 17, lstm_hidden: int = 256
     return params, bn_state
 
 
+def _au_face_score(cfg, params, bn_state, qbackbones, videos_u8, patches_u8, au_mask,
+                   au_weight, v_valid, au_valid):
+    """Pure scoring body for AUFaceScorer (shared-jit per cfg; see _cfg)."""
+    from .au_face import au_face_detector_apply
+    from .quant import resnet18_quant_walk
+
+    frame_size, patch_size, cdtype = cfg
+    videos = AUFaceScorer._prep(videos_u8, frame_size)
+    patches = AUFaceScorer._prep(patches_u8, patch_size)
+    bfns = {}
+    if qbackbones is not None:
+        for key in ("face", "au"):
+            bfns[f"{key}_backbone_fn"] = partial(
+                lambda q, flat: resnet18_quant_walk(q, flat, quant=True, compute_dtype=cdtype),
+                qbackbones[key],
+            )
+    logits, _, _, _ = au_face_detector_apply(
+        params, bn_state, videos, patches, au_mask, au_weight,
+        v_valid=v_valid, au_valid=au_valid,
+        train=False, compute_dtype=cdtype, **bfns,
+    )
+    return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+
+
 class AUFaceScorer(_ShardedScoringMixin):
     """Cross-modal AU+face scoring (AUFaceCrossDetector) on raw uint8 inputs.
 
@@ -492,7 +580,16 @@ class AUFaceScorer(_ShardedScoringMixin):
         # pair, logits invariant to the pad width (au_face.py).
         self.buckets = tuple(sorted(buckets)) if buckets else None
         self._init_mesh(mesh)
-        self._score = jax.jit(self._score_impl)
+        cfg = self._cfg()
+        self._score = _shared_score_jit(("au_face", cfg), lambda: partial(_au_face_score, cfg))
+
+    def _cfg(self) -> tuple:
+        """Hashable tuple of everything the traced program reads from self."""
+        return (
+            tuple(self.frame_size) if self.frame_size is not None else None,
+            tuple(self.patch_size) if self.patch_size is not None else None,
+            self.compute_dtype,
+        )
 
     @staticmethod
     def _prep(u8, size):
@@ -541,26 +638,8 @@ class AUFaceScorer(_ShardedScoringMixin):
 
     def _score_impl(self, params, bn_state, qbackbones, videos_u8, patches_u8, au_mask,
                     au_weight, v_valid, au_valid):
-        from .au_face import au_face_detector_apply
-        from .quant import resnet18_quant_walk
-
-        videos = self._prep(videos_u8, self.frame_size)
-        patches = self._prep(patches_u8, self.patch_size)
-        bfns = {}
-        if qbackbones is not None:
-            for key in ("face", "au"):
-                bfns[f"{key}_backbone_fn"] = partial(
-                    lambda q, flat: resnet18_quant_walk(
-                        q, flat, quant=True, compute_dtype=self.compute_dtype
-                    ),
-                    qbackbones[key],
-                )
-        logits, _, _, _ = au_face_detector_apply(
-            params, bn_state, videos, patches, au_mask, au_weight,
-            v_valid=v_valid, au_valid=au_valid,
-            train=False, compute_dtype=self.compute_dtype, **bfns,
-        )
-        return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+        return _au_face_score(self._cfg(), params, bn_state, qbackbones, videos_u8,
+                              patches_u8, au_mask, au_weight, v_valid, au_valid)
 
     @staticmethod
     def _pad_time(arr: np.ndarray, Tb: int) -> np.ndarray:
@@ -604,6 +683,26 @@ class AUFaceScorer(_ShardedScoringMixin):
             self.params, self.bn_state, self._qbackbones, *arrays, jnp.int32(T), jnp.int32(Ta)
         )
         return np.asarray(out)[:B]
+
+
+def _au_patch_score(cfg, params, bn_state, qbackbone, patches_u8, weights, lengths):
+    """Pure scoring body for AUPatchScorer (shared-jit per cfg; see _cfg)."""
+    from .quant import resnet18_quant_walk
+    from .resnet_lstm import au_patch_classifier_apply
+
+    patch_size, mask_padding, cdtype = cfg
+    x = AUFaceScorer._prep(patches_u8, patch_size)
+    backbone_fn = (
+        None
+        if qbackbone is None
+        else lambda flat: resnet18_quant_walk(qbackbone, flat, quant=True, compute_dtype=cdtype)
+    )
+    logits, _ = au_patch_classifier_apply(
+        params, bn_state, x, weights, lengths=lengths,
+        mask_padding=mask_padding, train=False, compute_dtype=cdtype,
+        backbone_fn=backbone_fn,
+    )
+    return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
 
 
 class AUPatchScorer(_ShardedScoringMixin):
@@ -660,16 +759,18 @@ class AUPatchScorer(_ShardedScoringMixin):
         # so scores match the unbucketed call — one compile per (T, A) bucket.
         self.buckets = tuple(sorted(buckets)) if buckets else None
         self._init_mesh(mesh)
-        self._score = jax.jit(self._score_impl)
+        cfg = self._cfg()
+        self._score = _shared_score_jit(("au_patch", cfg), lambda: partial(_au_patch_score, cfg))
+
+    def _cfg(self) -> tuple:
+        """Hashable tuple of everything the traced program reads from self."""
+        return (
+            tuple(self.patch_size) if self.patch_size is not None else None,
+            bool(self.mask_padding), self.compute_dtype,
+        )
 
     def _prep_patches(self, patches_u8):
-        x = patches_u8.astype(jnp.float32) / 255.0
-        if self.patch_size is not None and x.shape[-3:-1] != tuple(self.patch_size):
-            flat = x.reshape((-1,) + x.shape[-3:])
-            x = resize_bilinear(flat, self.patch_size).reshape(
-                x.shape[:-3] + tuple(self.patch_size) + (3,)
-            )
-        return x
+        return AUFaceScorer._prep(patches_u8, self._cfg()[0])
 
     def calibrate(self, patches_u8: np.ndarray, *, refine_passes: int = 0) -> None:
         """Fit the w8a8 ResNet-18 backbone on a representative patch batch
@@ -699,23 +800,8 @@ class AUPatchScorer(_ShardedScoringMixin):
         )
 
     def _score_impl(self, params, bn_state, qbackbone, patches_u8, weights, lengths):
-        from .quant import resnet18_quant_walk
-        from .resnet_lstm import au_patch_classifier_apply
-
-        x = self._prep_patches(patches_u8)
-        backbone_fn = (
-            None
-            if qbackbone is None
-            else lambda flat: resnet18_quant_walk(
-                qbackbone, flat, quant=True, compute_dtype=self.compute_dtype
-            )
-        )
-        logits, _ = au_patch_classifier_apply(
-            params, bn_state, x, weights, lengths=lengths,
-            mask_padding=self.mask_padding, train=False, compute_dtype=self.compute_dtype,
-            backbone_fn=backbone_fn,
-        )
-        return jax.nn.sigmoid(logits[:, 0].astype(jnp.float32))
+        return _au_patch_score(self._cfg(), params, bn_state, qbackbone,
+                               patches_u8, weights, lengths)
 
     def score(
         self,

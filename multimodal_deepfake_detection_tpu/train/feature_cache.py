@@ -77,3 +77,71 @@ class FeatureCachingLoader:
         """Release the cached features (e.g. when a CLI unfreezes the
         backbone and switches back to the raw loader)."""
         self._cache = None
+
+
+class _EpochCounter:
+    """Shared epoch position for a train/eval PhaseSwitchLoader pair."""
+
+    def __init__(self):
+        self.value = 0
+
+
+class PhaseSwitchLoader:
+    """Cached features while the backbone is frozen, raw batches after.
+
+    The freeze-then-unfreeze recipe (``/root/reference/train_visual.py:543,
+    551-556`` — backbone frozen for the first N epochs) makes the backbone
+    forward invariant for those N epochs in eval-BN mode; this loader serves
+    them from a feature cache and transparently switches to the raw loader at
+    the unfreeze epoch, freeing the cache. The consumer's step functions
+    dispatch on the batch rank (cached features are (B, T, F); raw frames are
+    (B, T, H, W, 3)).
+
+    Epoch tracking: a shared :class:`_EpochCounter` advanced once per
+    completed iteration of the ``role='train'`` loader — the convention every
+    in-repo loop follows (one train-loader pass per epoch). The ``role='eval'``
+    loader reads the counter: after train epoch e the counter is e+1 and the
+    backbone is unchanged iff e+1 <= switch_epoch.
+    """
+
+    def __init__(self, loader, feat_fn, *, switch_epoch: int, counter: _EpochCounter,
+                 role: str = "train"):
+        if bool(getattr(loader, "shuffle", False)):
+            raise ValueError(
+                "PhaseSwitchLoader would freeze a shuffling loader's epoch-0 order "
+                "during the cached phase; construct the loader with shuffle=False"
+            )
+        if role not in ("train", "eval"):
+            raise ValueError(role)
+        self.loader = loader
+        self.feat_fn = feat_fn
+        self.switch_epoch = int(switch_epoch)
+        self.counter = counter
+        self.role = role
+        self._cache = None
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def dataset(self):
+        return getattr(self.loader, "dataset", None)
+
+    def _cached_batches(self):
+        if self._cache is None:
+            cache = []
+            for x, labels, lengths in self.loader:
+                cache.append((np.asarray(self.feat_fn(x)), np.asarray(labels), np.asarray(lengths)))
+            self._cache = cache
+        return self._cache
+
+    def __iter__(self):
+        e = self.counter.value
+        frozen = (e < self.switch_epoch) if self.role == "train" else (e <= self.switch_epoch)
+        if frozen:
+            yield from self._cached_batches()
+        else:
+            self._cache = None  # unfrozen: free the feature RAM
+            yield from self.loader
+        if self.role == "train":
+            self.counter.value = e + 1

@@ -65,16 +65,39 @@ def _auc(labels, scores):
 
 # ---------------------------------------------------------------- visual
 
-def train_visual_micro(workdir, *, epochs=6):
-    """Train XceptionLSTMV+ArcFace on the planted-brightness fixture; return
-    (params, bn_state, calib_frames, test_frames, test_labels)."""
+def _log_odds(s):
+    s = np.clip(np.asarray(s, np.float64), 1e-12, 1.0 - 1e-9)
+    return np.log(s) - np.log1p(-s)
+
+
+def _class_margin(labels, scores):
+    """min(fake log-odds) - max(real log-odds): >0 iff perfectly separated."""
+    lg = _log_odds(scores)
+    return float(lg[labels == 1].min() - lg[labels == 0].max())
+
+
+def train_visual_micro(workdir, *, start_epochs=48, step_epochs=8, max_epochs=104):
+    """Train XceptionLSTMV+ArcFace end-to-end on the planted-brightness
+    fixture UNTIL the engine separates held-out clips with a wide log-odds
+    margin; return (params, bn_state, calib_frames, test_frames, test_labels).
+
+    Round-4 lesson: a fixed 6-epoch budget left the ArcFace softmax saturated
+    with the 'ranking' living in 1e-13-scale score noise — machine-dependent
+    and meaningless as a quant-accuracy anchor. From-scratch ArcFace training
+    on a micro-set is chaotic mid-trajectory (margin flips) but settles into a
+    stable wide-margin regime (measured: AUC 1.0 with ~40-logit class gaps by
+    ~56 epochs at lr 2e-3); this fixture trains INTO that regime and verifies
+    it, so the downstream dAUC bound compares quantization drift against a
+    real decision margin on every machine, not against fp noise.
+    """
     from multimodal_deepfake_detection_tpu.cli import train_visual
+    from multimodal_deepfake_detection_tpu.models.serve import VisualScorer
 
     train_tree = make_face_npy_tree(
         os.path.join(workdir, "vis_train"), n_per_class=4, frames=3, size=32, seed=0
     )
     test_tree = make_face_npy_tree(
-        os.path.join(workdir, "vis_test"), n_per_class=16, frames=3, size=32, seed=7
+        os.path.join(workdir, "vis_test"), n_per_class=24, frames=3, size=32, seed=7
     )
     config = train_visual.Config(
         train_folder=f"{train_tree}/train",
@@ -86,13 +109,32 @@ def train_visual_micro(workdir, *, epochs=6):
         freeze_epochs=0,
         buckets=(3,),
         compute_dtype="float32",
-        lr=1e-3,
+        lr=2e-3,
     )
     train_loader, *_rest, state, train_step, _ = train_visual.build(config)
-    state = _drive(train_loader, state, train_step, epochs)
     calib, _ = _load_split(f"{train_tree}/train")
     test_x, test_y = _load_split(f"{test_tree}/test")
-    return _host(state.params), _host(state.bn_state), calib, test_x, test_y
+
+    state = _drive(train_loader, state, train_step, start_epochs)
+    drove = start_epochs
+    history = []
+    while True:
+        params, bn_state = _host(state.params), _host(state.bn_state)
+        # the scorer jit is config-shared (models/serve.py), so re-validating
+        # per chunk reuses one compiled program with new weights
+        sc = VisualScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+        s = sc.score(test_x)
+        auc, margin = _auc(test_y, s), _class_margin(test_y, s)
+        history.append((drove, round(auc, 4), round(margin, 2)))
+        if auc == 1.0 and margin > 4.0:
+            return params, bn_state, calib, test_x, test_y
+        if drove >= max_epochs:
+            raise RuntimeError(
+                "visual micro fixture failed to reach the stable wide-margin "
+                f"regime within {max_epochs} epochs: (epochs, AUC, margin) = {history}"
+            )
+        state = _drive(train_loader, state, train_step, step_epochs)
+        drove += step_epochs
 
 
 @pytest.fixture(scope="module")
@@ -107,16 +149,24 @@ def test_visual_quant_dauc_trained(visual_trained):
     fp = VisualScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
     s_fp = fp.score(test_x)
     auc_fp = _auc(test_y, s_fp)
-    assert auc_fp >= 0.9, f"fp visual AUC {auc_fp} — fixture not learned"
-    for refine in (0, 1):
-        q = VisualScorer(
-            params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
-        )
-        q.calibrate(calib, refine_passes=refine)
-        s_q = q.score(test_x)
-        dauc = abs(_auc(test_y, s_q) - auc_fp)
-        assert dauc <= DAUC_TOL, f"visual w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
-        assert np.max(np.abs(s_q - s_fp)) < 0.25, "per-clip score drift"
+    assert auc_fp >= 0.95, f"fp visual AUC {auc_fp} — fixture not learned"
+    # degeneracy guards (round-4 lesson): the ranking must live in real score
+    # dynamic range and a wide log-odds margin, not in fp noise
+    assert np.ptp(s_fp) > 0.5, f"degenerate fp scores: ptp {np.ptp(s_fp)}"
+    assert _class_margin(test_y, s_fp) > 4.0
+    # w8a8-pallas = the BENCH headline int8 config (int8-pointwise Pallas
+    # middle flow); on CPU its kernels run in interpret mode automatically
+    for quant in ("w8a8", "w8a8-pallas"):
+        for refine in (0, 1):
+            q = VisualScorer(
+                params, bn_state, compute_dtype=jnp.float32, use_pallas=False,
+                quantize=quant,
+            )
+            q.calibrate(calib, refine_passes=refine)
+            s_q = q.score(test_x)
+            dauc = abs(_auc(test_y, s_q) - auc_fp)
+            assert dauc <= DAUC_TOL, f"visual {quant} refine={refine}: dAUC {dauc} (fp {auc_fp})"
+            assert np.max(np.abs(s_q - s_fp)) < 0.25, "per-clip score drift"
 
 
 # ---------------------------------------------------------------- audio
@@ -188,14 +238,17 @@ def test_audio_quant_dauc_trained(audio_trained):
     s_fp = fp.score(test_waves)
     auc_fp = _auc(test_y, s_fp)
     assert auc_fp >= 0.9, f"fp audio AUC {auc_fp} — fixture not learned"
-    for refine in (0, 1):
-        q = AudioScorer(
-            params, bn_state, compute_dtype=jnp.float32, use_pallas=False, quantize="w8a8"
-        )
-        q.calibrate(calib_waves, refine_passes=refine)
-        s_q = q.score(test_waves)
-        dauc = abs(_auc(test_y, s_q) - auc_fp)
-        assert dauc <= DAUC_TOL, f"audio w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
+    assert np.ptp(s_fp) > 0.1, f"degenerate fp scores: ptp {np.ptp(s_fp)}"
+    for quant in ("w8a8", "w8a8-pallas"):
+        for refine in (0, 1):
+            q = AudioScorer(
+                params, bn_state, compute_dtype=jnp.float32, use_pallas=False,
+                quantize=quant,
+            )
+            q.calibrate(calib_waves, refine_passes=refine)
+            s_q = q.score(test_waves)
+            dauc = abs(_auc(test_y, s_q) - auc_fp)
+            assert dauc <= DAUC_TOL, f"audio {quant} refine={refine}: dAUC {dauc} (fp {auc_fp})"
 
 
 # ---------------------------------------------------------------- AV fused
@@ -346,6 +399,13 @@ def test_au_face_quant_dauc_trained(au_face_trained):
     flip = _auc(test_y, 1.0 - s_fp) > _auc(test_y, s_fp)  # reference sign auto-flip
     orient = (lambda s: 1.0 - s) if flip else (lambda s: s)
     auc_fp = _auc(test_y, orient(s_fp))
+    # floor on the ORIENTED fp AUC so the dAUC bound can't pass vacuously
+    # against a chance-level scorer (ADVICE r4). The logits head itself gets
+    # no direct gradient (training supervises ArcFace on pooled embeddings,
+    # mirroring /root/reference/train_au_face.py:659-674), so it is a fixed
+    # readout of LEARNED token streams — a modest floor, not the >=0.9 the
+    # directly-supervised engines clear.
+    assert auc_fp >= 0.7, f"au_face oriented fp AUC {auc_fp} — token streams not learned"
     for refine in (0, 1):
         q = AUFaceScorer(params, bn_state, compute_dtype=jnp.float32, quantize="w8a8")
         q.calibrate(calib_v, calib_a, refine_passes=refine)

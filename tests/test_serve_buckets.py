@@ -29,16 +29,25 @@ def test_audio_scorer_buckets_bounded_and_exact():
     kw = dict(compute_dtype=jnp.float32, use_pallas=False)
     plain = AudioScorer(params, bn_state, **kw)
     bucketed = AudioScorer(params, bn_state, sample_buckets=(3200, 6400), **kw)
+    # same config -> the scoring programs are SHARED across instances
+    # (models/serve.py::_shared_score_jit); cache sizes below are per-config
+    assert bucketed._score is plain._score
 
     lengths = [2400, 3200, 4000, 4800, 6400]  # 5 distinct -> 2 bucket shapes
+    centered0 = plain._score._cache_size()
+    uncentered0 = bucketed._score_uncentered._cache_size()
+    for L in lengths:
+        plain.score(RNG.normal(0, 0.1, (2, L)).astype(np.float32))
+    # unbucketed traffic compiles once per distinct length — what buckets solve
+    assert plain._score._cache_size() == centered0 + len(lengths)
+    centered_after = plain._score._cache_size()
     for L in lengths:
         wav = RNG.normal(0, 0.1, (2, L)).astype(np.float32)
         got = bucketed.score(wav)
-        ref = plain.score(wav)
-        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
-    assert bucketed._score_uncentered._cache_size() == 2
-    assert bucketed._score._cache_size() == 0  # centered path never used
-    assert plain._score._cache_size() == len(lengths)  # the problem buckets solve
+        np.testing.assert_allclose(got, plain.score(wav), rtol=1e-5, atol=1e-6)
+    # bucketed traffic: 2 uncentered bucket shapes, centered path never used
+    assert bucketed._score_uncentered._cache_size() == uncentered0 + 2
+    assert plain._score._cache_size() == centered_after
 
 
 def test_audio_scorer_buckets_fidelity_mode_exact():
@@ -60,8 +69,18 @@ def _au_face_scorer(buckets=None):
 def test_au_face_scorer_buckets_bounded_and_exact():
     plain = _au_face_scorer()
     bucketed = _au_face_scorer(buckets=(4, 6))
+    assert bucketed._score is plain._score  # config-shared program
 
     shapes = [(2, 3), (3, 4), (4, 2), (5, 6), (6, 5)]  # (T, Ta) pairs
+    n0 = plain._score._cache_size()
+    for T, Ta in shapes:
+        videos = RNG.integers(0, 255, (2, T, 16, 16, 3), np.uint8)
+        patches = RNG.integers(0, 255, (2, Ta, 3, 8, 8, 3), np.uint8)
+        weights = RNG.random((2, Ta, 3)).astype(np.float32)
+        ref = plain.score(videos, patches, au_weight=weights)
+    # unbucketed traffic: one compile per distinct (T, Ta)
+    assert plain._score._cache_size() == n0 + len(shapes)
+    n1 = plain._score._cache_size()
     for T, Ta in shapes:
         videos = RNG.integers(0, 255, (2, T, 16, 16, 3), np.uint8)
         patches = RNG.integers(0, 255, (2, Ta, 3, 8, 8, 3), np.uint8)
@@ -70,8 +89,7 @@ def test_au_face_scorer_buckets_bounded_and_exact():
         ref = plain.score(videos, patches, au_weight=weights)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
     # 5 distinct (T, Ta) pairs collapse to <= 4 (Tb, Tab) bucket pairs
-    assert bucketed._score._cache_size() <= 4
-    assert plain._score._cache_size() == len(shapes)
+    assert plain._score._cache_size() <= n1 + 4
 
 
 def test_au_patch_scorer_buckets_bounded_and_exact():
@@ -80,14 +98,23 @@ def test_au_patch_scorer_buckets_bounded_and_exact():
     plain = AUPatchScorer(params, bn_state, **kw)
     bucketed = AUPatchScorer(params, bn_state, buckets=(4, 8), **kw)
 
+    assert bucketed._score is plain._score  # config-shared program
+    n0 = plain._score._cache_size()
+    for T in (2, 3, 4, 6, 8):
+        patches = RNG.integers(0, 255, (2, T, 3, 8, 8, 3), np.uint8)
+        weights = RNG.random((2, T, 3)).astype(np.float32)
+        ref = plain.score(patches, weights)
+    assert plain._score._cache_size() == n0 + 5  # one compile per distinct T
+    n1 = plain._score._cache_size()
     for T in (2, 3, 4, 6, 8):
         patches = RNG.integers(0, 255, (2, T, 3, 8, 8, 3), np.uint8)
         weights = RNG.random((2, T, 3)).astype(np.float32)
         got = bucketed.score(patches, weights)
         ref = plain.score(patches, weights)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
-    assert bucketed._score._cache_size() == 2
-    assert plain._score._cache_size() == 5
+    # the 2 bucket shapes (T=4, T=8) were ALREADY compiled by the plain loop
+    # and the program is config-shared, so bucketed traffic adds zero compiles
+    assert plain._score._cache_size() == n1
 
 
 def test_au_patch_scorer_buckets_ragged_lengths():

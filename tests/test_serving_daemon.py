@@ -294,3 +294,83 @@ def test_audio_adapter_exact_vs_direct():
     solo = AudioScorer(params, bn_state, sample_buckets=(4800,), **kw)
     for w, g in zip(waves, got):
         np.testing.assert_allclose(g, solo.score(w[None])[0], rtol=1e-4, atol=1e-6)
+
+
+def test_microbatcher_light_traffic_latency_bound():
+    """A lone item must flush as a partial batch at ~max_wait (the latency
+    bound under light open-loop traffic), never wait for a full batch."""
+    ad = _FakeAdapter()
+    with MicroBatcher(ad, max_batch=8, max_wait_ms=80, batch_buckets=(1, 8)) as mb:
+        t0 = time.monotonic()
+        s = mb.score_sync(timeout=10, x=np.ones(3, np.float32))
+        dt = time.monotonic() - t0
+    assert s == 3.0
+    assert [n for n, _, _ in ad.batches] == [1]
+    assert 0.05 <= dt < 1.0, f"lone item took {dt:.3f}s (max_wait 0.08s)"
+
+
+def test_microbatcher_burst_rump_fresh_window():
+    """Bursty arrivals: a burst bigger than max_batch flushes one FULL batch
+    immediately (size trigger) and the rump gets a FRESH coalescing window
+    measured from engine-free, not from its enqueue — so a follow-up burst
+    arriving within that window joins the rump instead of the rump flushing
+    alone the instant the engine idles."""
+
+    class _SlowAdapter(_FakeAdapter):
+        def __init__(self):
+            super().__init__()
+            self.t_runs = []
+
+        def run(self, items, pad_to):
+            with self._lock:
+                self.batches.append((len(items), pad_to, items[0]["x"].shape))
+                self.t_runs.append(time.monotonic())
+            time.sleep(0.3)  # engine busy past max_wait
+            return np.array([float(it["x"].sum()) for it in items])
+
+    ad = _SlowAdapter()
+    xs = [RNG.normal(size=3).astype(np.float32) for _ in range(8)]
+    with MicroBatcher(ad, max_batch=4, max_wait_ms=250, batch_buckets=(1, 2, 4)) as mb:
+        # burst of 6 = one full batch (size trigger, no wait) + rump of 2
+        futs = [mb.submit(x=x) for x in xs[:6]]
+
+        def second_burst():
+            # lands at ~t=0.45: engine freed at ~0.3, rump deadline at
+            # ~0.3+0.25 — enqueue-age accounting (rump enqueued at t=0)
+            # would have flushed the rump alone at t=0.3
+            time.sleep(0.45)
+            for x in xs[6:]:
+                futs.append(mb.submit(x=x))
+
+        t = threading.Thread(target=second_burst)
+        t.start()
+        t.join()
+        time.sleep(0.05)
+        for f in list(futs):
+            f.result(timeout=10)
+    sizes = [n for n, _, _ in ad.batches]
+    assert sizes == [4, 4], sizes
+    # the full batch flushed on size immediately; the rump waited out a fresh
+    # window after engine-free rather than flushing at its enqueue deadline
+    assert ad.t_runs[1] - ad.t_runs[0] >= 0.3 + 0.1
+
+
+def test_microbatcher_mixed_engines_concurrent():
+    """Two engines' batchers serving interleaved traffic stay isolated and
+    exact — the deterministic CPU shadow of the mixed-engine daemon matrix."""
+    ad_a, ad_b = _FakeAdapter(), _FakeAdapter()
+    xs_a = [RNG.normal(size=4).astype(np.float32) for _ in range(10)]
+    xs_b = [RNG.normal(size=7).astype(np.float32) for _ in range(10)]
+    with MicroBatcher(ad_a, max_batch=4, max_wait_ms=60) as mba, \
+         MicroBatcher(ad_b, max_batch=4, max_wait_ms=60) as mbb:
+        futs = []
+        for xa, xb in zip(xs_a, xs_b):  # interleaved submission
+            futs.append((mba.submit(x=xa), float(xa.sum())))
+            futs.append((mbb.submit(x=xb), float(xb.sum())))
+        for f, want in futs:
+            np.testing.assert_allclose(f.result(timeout=10), want, rtol=1e-6)
+    assert sum(n for n, _, _ in ad_a.batches) == 10
+    assert sum(n for n, _, _ in ad_b.batches) == 10
+    # each engine only ever saw its own shape
+    assert {s for _, _, s in ad_a.batches} == {(4,)}
+    assert {s for _, _, s in ad_b.batches} == {(7,)}

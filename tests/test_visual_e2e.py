@@ -125,3 +125,74 @@ def test_test_visual_strict_load_rejects_wrong_dim(face_tree, tmp_path):
                 compute_dtype="float32",
             )
         )
+
+
+def test_visual_cache_features_equivalence(face_tree, tmp_path):
+    """--cache_features on train_visual: the frozen-phase epochs served from
+    the feature cache (train/feature_cache.py::PhaseSwitchLoader) must
+    reproduce the uncached backbone_bn_eval quality-mode run, and the loader
+    must switch cleanly to raw frames at the unfreeze boundary.
+
+    Tolerances: the cached path stages the backbone forward in its own jitted
+    program, and fp32 program-boundary fusion differences (~1e-5 relative in
+    the 2048-d features) are amplified by the ArcFace s=30 margin CE; the
+    frozen-phase comparison is therefore 1e-3-level, and post-unfreeze epochs
+    (chaotically divergent from that noise) are only sanity-checked."""
+    import jax
+
+    def run(cache, epochs):
+        config = train_visual.Config(
+            train_folder=f"{face_tree}/train",
+            eval_folder=f"{face_tree}/eval",
+            checkpoint_dir=str(tmp_path / f"vcf_{int(cache)}_{epochs}"),
+            hidden_dim=8,
+            batch_size=4,
+            epochs=1,
+            freeze_epochs=3,
+            buckets=(6,),
+            compute_dtype="float32",
+            lr=1e-3,
+            shuffle=False,
+            backbone_bn_eval=True,
+            cache_features=cache,
+        )
+        train_loader, eval_loader, state, train_step, eval_step = train_visual.build(config)
+        losses, eval_losses = [], []
+        for epoch in range(epochs):
+            for i, (batch, labels, lengths) in enumerate(train_loader):
+                state, loss, _ = train_step(state, (batch, labels, lengths), epoch * 100 + i, epoch)
+                losses.append(float(loss))
+            for batch, labels, lengths in eval_loader:
+                loss, _ = eval_step(state, (batch, labels, lengths))
+                eval_losses.append(float(loss))
+        params = jax.tree_util.tree_map(np.asarray, state.params)
+        return losses, eval_losses, params
+
+    # frozen phase: cached vs uncached eval-BN agree to amplified-fp noise
+    losses_u, ev_u, params_u = run(False, 3)
+    losses_c, ev_c, params_c = run(True, 3)
+    np.testing.assert_allclose(losses_c, losses_u, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ev_c, ev_u, rtol=2e-3, atol=2e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_c), jax.tree_util.tree_leaves(params_u)
+    ):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+    # boundary crossing: the cached run continues past the unfreeze epoch on
+    # raw frames (loader switch + step switch) with finite losses throughout
+    losses_x, ev_x, _ = run(True, 5)
+    assert np.all(np.isfinite(losses_x)) and np.all(np.isfinite(ev_x))
+    assert len(losses_x) == 10  # 5 epochs x 2 batches: raw phase really ran
+
+
+def test_visual_cache_features_guards(face_tree):
+    with pytest.raises(ValueError, match="freeze_epochs"):
+        train_visual.build(train_visual.Config(
+            train_folder=f"{face_tree}/train", eval_folder=f"{face_tree}/eval",
+            freeze_epochs=0, shuffle=False, cache_features=True,
+        ))
+    with pytest.raises(ValueError, match="shuffle"):
+        train_visual.build(train_visual.Config(
+            train_folder=f"{face_tree}/train", eval_folder=f"{face_tree}/eval",
+            freeze_epochs=3, shuffle=True, cache_features=True,
+        ))
