@@ -164,8 +164,14 @@ def folded_xception_apply(
     vw = 0
     for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
         _, _, _, stride, start_with_relu, _ = spec
+        # the fused middle kernels are designed for the production 16^2 trunk
+        # (pad-margin/row-offset schemes need W >= the 3x3 halo); degenerate
+        # trunks (tiny eval inputs -> W < 4) route to XLA, which is also what
+        # the perf argument would pick there (measured r5: the pos kernel's
+        # scores drift wildly at W=2)
+        mid_ok = pos_hw is not None or (h.shape[1] >= 4 and h.shape[2] >= 4)
         is_pos_middle = (
-            use_pos and stride == 1 and start_with_relu and is_middle_block(bp)
+            use_pos and mid_ok and stride == 1 and start_with_relu and is_middle_block(bp)
         )
         if pos_hw is not None and not is_pos_middle:  # leaving the pos run
             h = from_pos_layout(h, *pos_hw)
@@ -207,7 +213,7 @@ def folded_xception_apply(
         if vw:  # densify for a non-fused consumer
             h = h[:, :, :vw, :]
             vw = 0
-        if use_pallas and stride == 1 and start_with_relu and is_middle_block(bp):
+        if use_pallas and mid_ok and stride == 1 and start_with_relu and is_middle_block(bp):
             dw, pw, b = pack_middle_block(bp)
             if use_pos:
                 if pos_hw is None:

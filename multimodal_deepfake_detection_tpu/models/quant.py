@@ -138,7 +138,7 @@ def xception_quant_walk(
 
     def reg(site, p, h, stride, padding):
         if obs is not None:
-            obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+            obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1, 2))
         if quant and "w_q" in p:  # mixed trees carry fp nodes (skip_middle)
             y = conv2d_w8a8(p, h, stride=stride, padding=padding, out_dtype=compute_dtype)
         else:
@@ -148,7 +148,7 @@ def xception_quant_walk(
 
     def sep(site, p, h):
         if obs is not None:
-            obs[f"{site}/depthwise"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+            obs[f"{site}/depthwise"] = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1, 2))
         if quant and "w_q" in p["depthwise"]:
             y = depthwise_conv2d_w8a8(p["depthwise"], h, padding=1, out_dtype=compute_dtype)
         else:
@@ -166,8 +166,12 @@ def xception_quant_walk(
         return h
     for k, (spec, bp) in enumerate(zip(XCEPTION_BLOCK_SPECS, params["blocks"])):
         _in, _out, _reps, stride, start_with_relu, _grow = spec
+        # degenerate trunks (W < 4, tiny eval inputs) route to XLA — the pos
+        # kernels are designed for the production 16^2 trunk (see fold.py)
+        mid_ok = pos_hw is not None or (h.shape[1] >= 4 and h.shape[2] >= 4)
         pos_fp = (
             middle_pallas
+            and mid_ok
             and stride == 1
             and start_with_relu
             and "w" in bp["units"][0]["pointwise"]  # fp node (skip_middle tree)
@@ -179,6 +183,7 @@ def xception_quant_walk(
             middle_pallas
             and quant
             and not pos_fp
+            and mid_ok
             and stride == 1
             and start_with_relu
             and "w_q" in bp["units"][0]["pointwise"]
@@ -195,9 +200,9 @@ def xception_quant_walk(
                 dw, pw, bb = pack_middle_block(bp)
                 h = middle_block_pos_pallas(h, dw, pw, bb, interpret=pallas_interpret)
             else:
-                dw, pw_q, s_w, s_in, bb = pack_middle_block_q(bp)
+                dw, pw_q, s_w, s_in, s_dq, bb = pack_middle_block_q(bp)
                 h = middle_block_pos_pallas_w8(
-                    h, dw, pw_q, s_w, s_in, bb, interpret=pallas_interpret
+                    h, dw, pw_q, s_w, s_in, s_dq, bb, interpret=pallas_interpret
                 )
             if upto == f"block{k + 1}":
                 return from_pos_layout(h, *pos_hw)
@@ -240,30 +245,91 @@ def _calibrate_xception_fn(compute_dtype):
 
 
 def calibrate_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
-    """Per-site input amaxes of the fp folded forward over a calibration batch.
+    """Per-site, per-input-channel amaxes of the fp folded forward over a
+    calibration batch.
 
     ``calib_x`` is one representative (B, H, W, 3) batch (serving-normalized,
-    i.e. /255). Returns {site: float amax} in walk order.
+    i.e. /255). Returns {site: fp32 (Ci,) amax vector} in walk order — the
+    per-tensor amax is the vector max, so both act_scales modes of
+    :func:`quantize_folded_xception` build from the same calibration.
     """
     _, obs = _calibrate_xception_fn(compute_dtype)(folded_params, calib_x)
-    return {k: float(v) for k, v in obs.items()}
+    return {k: np.asarray(jax.device_get(v), np.float32) for k, v in obs.items()}
+
+
+def _quant_conv_node(
+    conv, a_vec, *, headroom: float, act_scales: str, smooth_alpha: float,
+    depthwise: bool = False,
+):
+    """Quantize one conv node against its calibrated input-amax vector.
+
+    ``act_scales="tensor"``: classic per-tensor activation scale
+    (``s_in = amax/127``), dequant ``s_in * s_w``.
+
+    ``act_scales="channel"``: SmoothQuant-style per-input-channel
+    activation-scale folding. Round-4/5 lesson (measured,
+    tools/quant_dauc.py r5): a trained net can concentrate its informative
+    activation variance in channels whose range is a sliver of the
+    per-tensor amax — per-tensor int8 then rounds the signal away entirely
+    (the visual micro fixture collapsed to constant features, AUC 1.0 ->
+    0.5). Folding ``s_fold[c] = a_c^alpha / w_c^(1-alpha)`` into the
+    weights BEFORE quantizing them equalizes channel ranges (every channel
+    uses its full int8 budget) and commutes exactly with any convolution
+    (per-input-channel scaling = scaling w[..., c, :]); the quantize op
+    becomes a per-channel vector multiply (same VPU cost) and the dequant
+    epilogue keeps a scalar ``s_dq``. For depthwise convs the fold lands on
+    the output-channel axis, where the per-output ``s_w`` absorbs it.
+    """
+    w = conv["w"]
+    a_vec = np.atleast_1d(np.asarray(jax.device_get(a_vec), np.float32))
+    if act_scales == "tensor" or (act_scales == "channel" and a_vec.size == 1):
+        w_q, s_w = quantize_weight(w)
+        q = {
+            "w_q": w_q,
+            "s_w": s_w,
+            "s_in": jnp.float32(max(float(a_vec.max()), 1e-12) * headroom / 127.0),
+        }
+    elif act_scales == "channel":
+        red = (0, 1, 2) if depthwise else (0, 1, 3)  # HWIO; depthwise folds on O
+        w_c = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=red), 1e-8)
+        a_c = jnp.maximum(jnp.asarray(a_vec), 1e-8)
+        s_fold = a_c ** smooth_alpha / w_c ** (1.0 - smooth_alpha)
+        shape = [1, 1, 1, 1]
+        shape[3 if depthwise else 2] = -1
+        w_q, s_w = quantize_weight(w.astype(jnp.float32) * s_fold.reshape(shape))
+        s_act = jnp.maximum(jnp.max(a_c / s_fold), 1e-12) * headroom / 127.0
+        q = {
+            "w_q": w_q,
+            "s_w": s_w,
+            "s_in": (s_fold * s_act).astype(jnp.float32),
+            "s_dq": s_act.astype(jnp.float32),
+        }
+    else:
+        raise ValueError(f"act_scales must be 'tensor' or 'channel', got {act_scales!r}")
+    if "b" in conv:
+        q["b"] = conv["b"].astype(jnp.float32)
+    return q
 
 
 def quantize_folded_xception(
     folded_params, amaxes: dict, *, headroom: float = 1.0, quant_depthwise: bool = False,
-    skip_middle: bool = False,
+    skip_middle: bool = False, act_scales: str = "channel", smooth_alpha: float = 0.5,
 ):
     """Build the w8a8 tree from a BN-folded fp tree + calibrated amaxes.
 
     ``headroom`` scales every activation amax (>1 guards against clip on
     inputs hotter than the calibration batch, at the cost of resolution).
-    Quantized conv nodes become {"w_q" int8, "s_w" fp32[O], "s_in" fp32,
-    "b" fp32}; fc stays fp. ``quant_depthwise`` also quantizes the
-    depthwise 3x3s so the activation chain through each sepconv unit stays
-    int8 end-to-end (halves the HBM traffic of the bandwidth-bound entry
-    blocks); off, they stay fp. ``skip_middle`` leaves the middle-flow
-    blocks (stride-1, start-with-relu) entirely fp so the walker's
-    ``middle_pallas`` mode can route them through the fused pos kernel.
+    Quantized conv nodes become {"w_q" int8, "s_w" fp32[O], "s_in" fp32
+    scalar or fp32[Ci], "s_dq" fp32, "b" fp32}; fc stays fp.
+    ``quant_depthwise`` also quantizes the depthwise 3x3s so the activation
+    chain through each sepconv unit stays int8 end-to-end (halves the HBM
+    traffic of the bandwidth-bound entry blocks); off, they stay fp.
+    ``skip_middle`` leaves the middle-flow blocks (stride-1, start-with-relu)
+    entirely fp so the walker's ``middle_pallas`` mode can route them through
+    the fused pos kernel. ``act_scales``/``smooth_alpha``: see
+    :func:`_quant_conv_node` — "channel" (default) folds per-input-channel
+    activation scales into the weights, which rescues nets whose informative
+    activation variance is narrow relative to the per-tensor amax.
     """
 
     missing = [s for s in _sites(folded_params, depthwise=quant_depthwise) if s not in amaxes]
@@ -274,20 +340,15 @@ def quantize_folded_xception(
         k for k, spec in enumerate(XCEPTION_BLOCK_SPECS) if spec[3] == 1 and spec[4]
     } if skip_middle else set()
 
-    def qconv(conv, site):
-        w_q, s_w = quantize_weight(conv["w"])
-        q = {
-            "w_q": w_q,
-            "s_w": s_w,
-            "s_in": jnp.float32(max(amaxes[site], 1e-12) * headroom / 127.0),
-        }
-        if "b" in conv:
-            q["b"] = conv["b"].astype(jnp.float32)
-        return q
+    def qconv(conv, site, depthwise=False):
+        return _quant_conv_node(
+            conv, amaxes[site], headroom=headroom, act_scales=act_scales,
+            smooth_alpha=smooth_alpha, depthwise=depthwise,
+        )
 
     def qsep(sep, site):
         if quant_depthwise:
-            dw = qconv(sep["depthwise"], f"{site}/depthwise")
+            dw = qconv(sep["depthwise"], f"{site}/depthwise", depthwise=True)
         else:
             dw = {"w": sep["depthwise"]["w"]}
         return {
@@ -524,7 +585,7 @@ def resnet18_quant_walk(
 
     def reg(site, p, h, stride, padding):
         if obs is not None:
-            obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+            obs[site] = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1, 2))
         if quant and "w_q" in p:
             y = conv2d_w8a8(p, h, stride=stride, padding=padding, out_dtype=compute_dtype)
         else:
@@ -567,24 +628,24 @@ def _calibrate_resnet18_fn(compute_dtype):
 
 def calibrate_resnet18_amax(folded_params, calib_x, *, compute_dtype=jnp.bfloat16) -> dict:
     _, obs = _calibrate_resnet18_fn(compute_dtype)(folded_params, calib_x)
-    return {k: float(v) for k, v in obs.items()}
+    return {k: np.asarray(jax.device_get(v), np.float32) for k, v in obs.items()}
 
 
-def quantize_folded_resnet18(folded_params, amaxes: dict, *, headroom: float = 1.0):
-    """Build the w8a8 ResNet-18 tree from a BN-folded fp tree + amaxes."""
+def quantize_folded_resnet18(
+    folded_params, amaxes: dict, *, headroom: float = 1.0,
+    act_scales: str = "channel", smooth_alpha: float = 0.5,
+):
+    """Build the w8a8 ResNet-18 tree from a BN-folded fp tree + amaxes.
+
+    ``act_scales``/``smooth_alpha``: see :func:`_quant_conv_node`."""
 
     def qconv(conv, site):
         if site not in amaxes:
             raise ValueError(f"calibration amaxes missing site: {site}")
-        w_q, s_w = quantize_weight(conv["w"])
-        q = {
-            "w_q": w_q,
-            "s_w": s_w,
-            "s_in": jnp.float32(max(amaxes[site], 1e-12) * headroom / 127.0),
-        }
-        if "b" in conv:
-            q["b"] = conv["b"].astype(jnp.float32)
-        return q
+        return _quant_conv_node(
+            conv, amaxes[site], headroom=headroom, act_scales=act_scales,
+            smooth_alpha=smooth_alpha,
+        )
 
     out = {"conv1": qconv(folded_params["conv1"], "conv1"), "stages": []}
     for i, stage in enumerate(folded_params["stages"]):

@@ -69,6 +69,15 @@ def _shared_score_jit(key, make_fn):
     return fn
 
 
+def reset_score_jit_cache() -> None:
+    """Drop the shared per-config scoring programs. Scorers built BEFORE the
+    reset keep (and keep filling) their jits; scorers built after get fresh
+    ones. For tests that assert on ``_score._cache_size()`` — the shared cache
+    makes absolute counts depend on every same-config scorer the process ran
+    earlier — and for long-lived daemons that want to free retired programs."""
+    _SCORE_JIT_CACHE.clear()
+
+
 class _ShardedScoringMixin:
     """Mesh-sharded batch scoring shared by the serving engines.
 

@@ -188,7 +188,7 @@ def _pos_q_kernel(
 
 @partial(jax.jit, static_argnames=("interpret", "batch_tile", "pos_chunks"))
 def middle_block_pos_pallas_w8(
-    xp, dw, pw_q, s_w, s_in, b, *, interpret: bool = False, batch_tile: int = 8,
+    xp, dw, pw_q, s_w, s_in, s_dq, b, *, interpret: bool = False, batch_tile: int = 8,
     pos_chunks: int = 4,
 ):
     """int8-pointwise fused middle-flow block on position-major activations.
@@ -208,7 +208,11 @@ def middle_block_pos_pallas_w8(
             them int8).
         pw_q: (reps, C, C) int8 pointwise weights.
         s_w: (reps, C) fp32 per-output-channel weight scales.
-        s_in: (reps,) fp32 static activation scales at each pointwise input.
+        s_in: (reps, C) fp32 static per-channel activation scales at each
+            pointwise input (a per-tensor tree broadcasts its scalar; with
+            act_scales="channel" these carry the fold — either way they
+            disappear into the tap weights below, at zero kernel cost).
+        s_dq: (reps,) fp32 scalar dequant factors for the matmul epilogue.
         b: (reps, C) fp32 folded-BN biases.
 
     ``pos_chunks`` defaults to 4 here (vs the fp kernel's 8): the int8 MXU
@@ -230,9 +234,9 @@ def middle_block_pos_pallas_w8(
     while HW % NCH:
         NCH //= 2
     NCH = max(NCH, 1)
-    s_in = s_in.astype(jnp.float32).reshape(reps)
-    dw_scaled = dw.astype(jnp.float32) / s_in[:, None, None]
-    sc = s_in[:, None] * s_w.astype(jnp.float32)
+    s_in = s_in.astype(jnp.float32).reshape(reps, C)
+    dw_scaled = dw.astype(jnp.float32) / s_in[:, None, :]
+    sc = s_dq.astype(jnp.float32).reshape(reps)[:, None] * s_w.astype(jnp.float32)
     kernel = partial(_pos_q_kernel, H=H, W=W, C=C, reps=reps, BT=BT, NCH=NCH)
     out = pl.pallas_call(
         kernel,
@@ -256,25 +260,35 @@ def middle_block_pos_pallas_w8(
 def pack_middle_block_q(qblock):
     """One quantized (models/quant.py) middle-flow block ->
     (dw (reps, 9, C) fp32, pw_q (reps, C, C) int8, s_w (reps, C),
-    s_in (reps,), b (reps, C)) for :func:`middle_block_pos_pallas_w8`.
+    s_in (reps, C), s_dq (reps,), b (reps, C)) for
+    :func:`middle_block_pos_pallas_w8`.
 
     Depthwise nodes may be fp ("w") or quantized ("w_q" — dequantized here:
-    the kernel's taps run fp32 either way)."""
-    dws, pws, sws, sins, bs = [], [], [], [], []
+    the kernel's taps run fp32 either way). ``s_in`` is always packed as a
+    per-channel vector (a per-tensor node's scalar broadcasts): with
+    activation-scale folding (act_scales="channel") the per-channel part
+    folds into the tap weights exactly like the scalar did, and ``s_dq``
+    carries the scalar dequant factor for the matmul epilogue."""
+    dws, pws, sws, sins, sdqs, bs = [], [], [], [], [], []
     for u in qblock["units"]:
         d = u["depthwise"]
         w = d["w_q"].astype(jnp.float32) * d["s_w"] if "w_q" in d else d["w"].astype(jnp.float32)
         dws.append(w[:, :, 0, :].reshape(9, w.shape[-1]))
         p = u["pointwise"]
+        C = p["w_q"].shape[2]
         pws.append(p["w_q"][0, 0])
         sws.append(p["s_w"].astype(jnp.float32))
-        sins.append(p["s_in"])
+        s_in = jnp.asarray(p["s_in"], jnp.float32)
+        sins.append(jnp.broadcast_to(s_in.reshape(-1), (C,)) if s_in.ndim == 0 or s_in.size == 1
+                    else s_in)
+        sdqs.append(jnp.asarray(p.get("s_dq", p["s_in"]), jnp.float32).reshape(()))
         bs.append(p["b"].astype(jnp.float32))
     return (
         jnp.stack(dws),
         jnp.stack(pws),
         jnp.stack(sws),
-        jnp.stack([jnp.asarray(s, jnp.float32) for s in sins]),
+        jnp.stack(sins),
+        jnp.stack(sdqs),
         jnp.stack(bs),
     )
 

@@ -68,12 +68,21 @@ def conv2d_w8a8(
 ) -> jnp.ndarray:
     """NHWC int8 convolution with fused dequant epilogue.
 
-    ``qparams``: {"w_q": int8 HWIO, "s_w": fp32[O], "s_in": fp32 scalar,
-    "b": fp32[O] (optional)}. ``x`` is a float tensor; it is quantized with
+    ``qparams``: {"w_q": int8 HWIO, "s_w": fp32[O], "s_in": fp32 scalar or
+    fp32[Ci], "b": fp32[O] (optional), "s_dq": fp32 scalar (required when
+    ``s_in`` is per-channel)}. ``x`` is a float tensor; it is quantized with
     the static calibrated ``s_in`` on the way in (one elementwise op that XLA
-    fuses into the producer).
+    fuses into the producer — a (Ci,) ``s_in`` broadcasts over the lane axis
+    at the same VPU cost as a scalar).
+
+    Per-channel ``s_in`` comes from activation-scale folding
+    (models/quant.py::quantize_folded_xception act_scales="channel"): the
+    per-input-channel part of the scale is folded into the weights before
+    THEY are quantized, so the int8 dot needs only the remaining scalar
+    ``s_dq`` in its dequant epilogue.
     """
     s_in = qparams["s_in"]
+    s_dq = qparams.get("s_dq", s_in)
     xq = quantize(x, s_in)
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
@@ -85,7 +94,7 @@ def conv2d_w8a8(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    out = y.astype(jnp.float32) * (s_in * qparams["s_w"])
+    out = y.astype(jnp.float32) * (s_dq * qparams["s_w"])
     if "b" in qparams:
         out = out + qparams["b"]
     return out.astype(out_dtype)
@@ -104,21 +113,45 @@ def depthwise_conv2d_w8a8(
     chain int8 *end-to-end* through a sepconv unit — the entry blocks are
     HBM-bandwidth bound (PERF.md), so materializing the big 125^2/63^2
     tensors at 1 byte instead of 2 is the actual win this op buys.
+
+    ``s_in`` may be per-channel (see conv2d_w8a8): depthwise maps input
+    channel c to output channel c, so the fold lands on the OUTPUT-channel
+    axis and the per-output ``s_w`` absorbs it; ``s_dq`` carries the scalar
+    part.
     """
     s_in = qparams["s_in"]
+    s_dq = qparams.get("s_dq", s_in)
     xq = quantize(x, s_in)
     c = x.shape[-1]
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
-    y = jax.lax.conv_general_dilated(
-        xq,
-        qparams["w_q"],
-        window_strides=(1, 1),
-        padding=((ph, ph), (pw, pw)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        preferred_element_type=jnp.int32,
-    )
-    return (y.astype(jnp.float32) * (s_in * qparams["s_w"])).astype(out_dtype)
+    N, H, W, _ = x.shape
+    if H * W <= 16:
+        # Degenerate-spatial escape hatch (measured, round 5): the XLA-TPU
+        # int8 depthwise emitter produces a BATCH-CONSTANT result for tiny
+        # spatial dims (hit at 1x1 — a 32^2 micro input's exit flow, conv4
+        # C=1536) when compiled inside a large program, while the identical
+        # op standalone is exact. An unrolled integer shift-add is the same
+        # exact math without the conv emitter, and at <=16 positions it costs
+        # a handful of VPU multiply-adds.
+        kh, kw = qparams["w_q"].shape[:2]
+        xi = jnp.pad(xq.astype(jnp.int32), ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        w = qparams["w_q"].astype(jnp.int32)
+        y = sum(
+            xi[:, dy : dy + H, dx : dx + W, :] * w[dy, dx, 0, :][None, None, None, :]
+            for dy in range(kh)
+            for dx in range(kw)
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            xq,
+            qparams["w_q"],
+            window_strides=(1, 1),
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            preferred_element_type=jnp.int32,
+        )
+    return (y.astype(jnp.float32) * (s_dq * qparams["s_w"])).astype(out_dtype)
 
 
 def dequant_error(w: jnp.ndarray) -> float:

@@ -56,10 +56,10 @@ def test_pos_routing_in_folded_net(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def _emulate_w8_block(x, dw, pw_q, s_w, s_in, b):
+def _emulate_w8_block(x, dw, pw_q, s_w, s_in, s_dq, b):
     """numpy reference of middle_block_pos_pallas_w8: bf16 relu pad, fp32
-    taps, round/clip int8 requant, integer matmul, fused dequant + bias,
-    residual on the last rep, bf16 inter-rep storage."""
+    taps, per-channel round/clip int8 requant, integer matmul, fused scalar
+    dequant + bias, residual on the last rep, bf16 inter-rep storage."""
     import numpy as onp
 
     B, H, W, C = x.shape
@@ -73,9 +73,9 @@ def _emulate_w8_block(x, dw, pw_q, s_w, s_in, b):
         for dy in range(3):
             for dx in range(3):
                 acc += ap[:, dy : dy + H, dx : dx + W, :] * dw[r, dy * 3 + dx][None, None, None, :]
-        qa = onp.clip(onp.round(acc / s_in[r]), -127, 127).astype(onp.int64)
+        qa = onp.clip(onp.round(acc / s_in[r][None, None, None, :]), -127, 127).astype(onp.int64)
         o = qa @ onp.asarray(pw_q[r], onp.int64)
-        o = o.astype(onp.float32) * (s_in[r] * onp.asarray(s_w[r]))[None, None, None, :] + b[r]
+        o = o.astype(onp.float32) * (s_dq[r] * onp.asarray(s_w[r]))[None, None, None, :] + b[r]
         if r + 1 == reps:
             o = o + x0
         h = onp.asarray(jnp.asarray(o, jnp.bfloat16), onp.float32)
@@ -94,10 +94,13 @@ def test_pos_w8_kernel_matches_integer_emulation():
     dw = jnp.asarray(rng.normal(0, 0.2, (reps, 9, C)), jnp.float32)
     pw = rng.normal(0, 0.08, (reps, C, C)).astype(np.float32)
     b = jnp.asarray(rng.normal(0, 0.1, (reps, C)), jnp.float32)
-    # per-rep per-output-channel weight quantization + generous act scales
+    # per-rep per-output-channel weight quantization + per-input-channel
+    # activation scales with a scalar dequant factor (the act_scales="channel"
+    # folded form; a per-tensor tree is the s_in == s_dq special case)
     s_w = np.abs(pw).max(axis=1) / 127.0
     pw_q = np.clip(np.round(pw / s_w[:, None, :]), -127, 127).astype(np.int8)
-    s_in = np.asarray([2.5 / 127.0] * reps, np.float32)
+    s_dq = np.asarray([2.5 / 127.0] * reps, np.float32)
+    s_in = (s_dq[:, None] * rng.uniform(0.5, 2.0, (reps, C))).astype(np.float32)
 
     out = middle_block_pos_pallas_w8(
         to_pos_layout(x),
@@ -105,6 +108,7 @@ def test_pos_w8_kernel_matches_integer_emulation():
         jnp.asarray(pw_q),
         jnp.asarray(s_w),
         jnp.asarray(s_in),
+        jnp.asarray(s_dq),
         b,
         interpret=True,
         batch_tile=2,
@@ -112,7 +116,7 @@ def test_pos_w8_kernel_matches_integer_emulation():
     )
     got = np.asarray(from_pos_layout(out, H, W), np.float32)
     ref = _emulate_w8_block(
-        np.asarray(x, np.float32), np.asarray(dw), pw_q, s_w, s_in, np.asarray(b)
+        np.asarray(x, np.float32), np.asarray(dw), pw_q, s_w, s_in, s_dq, np.asarray(b)
     )
     # fp32 tap order + the 1/s_in tap folding differ slightly from the
     # emulation's divide-at-the-end; both are then rounded to int8, so any

@@ -99,10 +99,13 @@ def test_calibration_covers_all_sites_and_build_validates():
     n_units = sum(len(bp["units"]) for bp in folded["blocks"])
     n_skip = sum(1 for bp in folded["blocks"] if "skip" in bp)
     assert len(amaxes) == 2 + 2 * n_units + n_skip + 2 * 2
-    # a random net can have dead-ReLU sites (amax 0 — the scale floor in
-    # quantize_folded_xception guards those); the live stem must be nonzero
-    assert all(v >= 0 for v in amaxes.values())
-    assert amaxes["conv1"] > 0 and amaxes["conv2"] > 0
+    # per-input-channel amax vectors (the act_scales="channel" fold builds
+    # from them; per-tensor reduces with max). A random net can have
+    # dead-ReLU channels (amax 0 — the scale floor in _quant_conv_node
+    # guards those); the live stem must be nonzero
+    assert all(v.ndim == 1 and (v >= 0).all() for v in amaxes.values())
+    assert amaxes["conv1"].shape == (3,) and (amaxes["conv1"] > 0).all()
+    assert (amaxes["conv2"] > 0).any()
     missing = dict(amaxes)
     missing.pop("blocks/3/units/0/pointwise")
     try:
@@ -413,3 +416,73 @@ def test_sharded_w8a8_scorer_matches_single_chip():
     got = sharded.score(frames)
     assert got.shape == (3,)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_depthwise_w8a8_degenerate_spatial_matches_integer_math():
+    """The H*W<=16 shift-add path (ops/quant.py): the XLA-TPU int8 depthwise
+    emitter was measured (round 5) returning a BATCH-CONSTANT result on 1x1
+    spatial inside large programs — this pins the unrolled integer path to
+    exact integer math on the shapes that route through it (1x1 and 2x2, the
+    32^2-visual / 64^2-audio micro-fixture exit flows)."""
+    from multimodal_deepfake_detection_tpu.ops.quant import depthwise_conv2d_w8a8
+
+    for H in (1, 2, 4):
+        rng = jax.random.PRNGKey(40 + H)
+        k1, k2 = jax.random.split(rng)
+        C = 24
+        x = jax.random.normal(k1, (3, H, H, C))
+        w = jax.random.normal(k2, (3, 3, 1, C)) * 0.2
+        w_q, s_w = quantize_weight(w)
+        s_in = absmax_scale(x)
+        out = depthwise_conv2d_w8a8(
+            {"w_q": w_q, "s_w": s_w, "s_in": s_in}, x, padding=1, out_dtype=jnp.float32
+        )
+        xq = np.asarray(quantize(x, s_in), np.int64)
+        wq = np.asarray(w_q, np.int64)
+        xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        ref = np.zeros((3, H, H, C), np.int64)
+        for ky in range(3):
+            for kx in range(3):
+                ref += xp[:, ky : ky + H, kx : kx + H, :] * wq[ky, kx, 0][None, None, None, :]
+        ref_f = ref.astype(np.float64) * (float(s_in) * np.asarray(s_w, np.float64))
+        np.testing.assert_allclose(np.asarray(out, np.float64), ref_f, rtol=1e-5, atol=1e-5)
+        # the batch rows must differ (the miscompilation's signature was a
+        # constant-over-batch output)
+        o = np.asarray(out)
+        assert np.abs(o - o.mean(0, keepdims=True)).max() > 1e-3
+
+
+def test_channel_act_scales_preserve_narrow_channels():
+    """act_scales="channel" (SmoothQuant-style folding): batch-varying signal
+    living in channels whose range is a sliver of the per-tensor amax
+    survives quantization. This is the round-5 trained-visual collapse
+    mechanism in miniature: a large constant "carrier" channel sets the
+    per-tensor scale and the informative channels round to zero (output goes
+    batch-constant, AUC 1.0 -> 0.5); per-channel folding keeps them alive."""
+    from multimodal_deepfake_detection_tpu.models.quant import _quant_conv_node
+
+    rng = np.random.default_rng(0)
+    B, C = 8, 8
+    x = rng.normal(0, 0.01, (B, 1, 1, C)).astype(np.float32)  # the signal
+    x[:, :, :, 0] = 10.0  # constant carrier channel -> per-tensor amax 10
+    w = rng.normal(0, 0.3, (1, 1, C, 5)).astype(np.float32)
+    conv = {"w": jnp.asarray(w), "b": jnp.zeros((5,), jnp.float32)}
+    a_vec = np.abs(x).max(axis=(0, 1, 2))
+    ref = (x.reshape(B, C) @ w[0, 0]).astype(np.float64)
+    ref_spread = np.abs(ref - ref.mean(0, keepdims=True)).max()
+
+    spread = {}
+    for mode in ("tensor", "channel"):
+        node = _quant_conv_node(conv, a_vec, headroom=1.0, act_scales=mode, smooth_alpha=0.5)
+        if mode == "channel":
+            assert node["s_in"].shape == (C,) and node["s_dq"].ndim == 0
+        y = np.asarray(
+            conv2d_w8a8(node, jnp.asarray(x), stride=1, padding=0, out_dtype=jnp.float32),
+            np.float64,
+        ).reshape(B, 5)
+        spread[mode] = float(np.abs(y - y.mean(0, keepdims=True)).max())
+    # per-tensor: every signal channel is below half the 10/127 step -> the
+    # output is exactly batch-constant; channel folding keeps >=half of the
+    # true batch spread
+    assert spread["tensor"] == 0.0, spread
+    assert spread["channel"] > 0.5 * ref_spread, (spread, ref_spread)

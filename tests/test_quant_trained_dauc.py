@@ -189,13 +189,20 @@ def make_tone_waves(n_per_class, *, samples=800, seed=0, noise=0.02):
     return np.stack(waves), np.asarray(labels, np.int32)
 
 
-def train_audio_micro(workdir, *, epochs=6):
+def train_audio_micro(workdir, *, start_epochs=6, step_epochs=4, max_epochs=46):
     """Train XceptionLSTMA end-to-end (backbone UNFROZEN so the quantized
     weights are genuinely trained, unlike the reference's frozen-backbone
     recipe at XceptionLSTMA.py:11-12) on tone-vs-tone waveforms. The train
     tree holds MFCC npys computed with ops/mfcc (the exact transform
-    AudioScorer applies on-device), so serving-time inputs match training."""
+    AudioScorer applies on-device), so serving-time inputs match training.
+
+    Like the visual fixture, trains UNTIL held-out clips separate with a real
+    log-odds margin and self-validates: a fixed epoch budget left the TPU
+    trajectory at AUC 0.75 with near-tied sigmoid scores (max quant drift
+    1e-4 swung AUC by 0.08 — measured, tools/quant_dauc.py r5), i.e. the
+    round-4 degenerate-fixture lesson again, just on a different backend."""
     from multimodal_deepfake_detection_tpu.cli import train_audio
+    from multimodal_deepfake_detection_tpu.models.serve import AudioScorer
     from multimodal_deepfake_detection_tpu.ops.mfcc import mfcc as mfcc_op
 
     tree = os.path.join(workdir, "aud")
@@ -221,8 +228,24 @@ def train_audio_micro(workdir, *, epochs=6):
         freeze_backbone=False,
     )
     train_loader, _, state, train_step, _ = train_audio.build(config)
-    state = _drive(train_loader, state, train_step, epochs)
-    return _host(state.params), _host(state.bn_state), train_waves, test_waves, test_y
+    state = _drive(train_loader, state, train_step, start_epochs)
+    drove = start_epochs
+    history = []
+    while True:
+        params, bn_state = _host(state.params), _host(state.bn_state)
+        sc = AudioScorer(params, bn_state, compute_dtype=jnp.float32, use_pallas=False)
+        s = sc.score(test_waves)
+        auc, margin = _auc(test_y, s), _class_margin(test_y, s)
+        history.append((drove, round(auc, 4), round(margin, 2)))
+        if auc == 1.0 and margin > 2.0 and np.ptp(s) > 0.25:
+            return params, bn_state, train_waves, test_waves, test_y
+        if drove >= max_epochs:
+            raise RuntimeError(
+                "audio micro fixture failed to reach the separated-margin "
+                f"regime within {max_epochs} epochs: (epochs, AUC, margin) = {history}"
+            )
+        state = _drive(train_loader, state, train_step, step_epochs)
+        drove += step_epochs
 
 
 @pytest.fixture(scope="module")

@@ -19,12 +19,14 @@ from multimodal_deepfake_detection_tpu.models.serve import (
     AudioScorer,
     AUFaceScorer,
     AUPatchScorer,
+    reset_score_jit_cache,
 )
 
 RNG = np.random.default_rng(0)
 
 
 def test_audio_scorer_buckets_bounded_and_exact():
+    reset_score_jit_cache()  # compile counts must not see other tests' programs
     params, bn_state = xception_lstm_init(jax.random.PRNGKey(2), 8)
     kw = dict(compute_dtype=jnp.float32, use_pallas=False)
     plain = AudioScorer(params, bn_state, **kw)
@@ -67,6 +69,7 @@ def _au_face_scorer(buckets=None):
 
 
 def test_au_face_scorer_buckets_bounded_and_exact():
+    reset_score_jit_cache()  # compile counts must not see other tests' programs
     plain = _au_face_scorer()
     bucketed = _au_face_scorer(buckets=(4, 6))
     assert bucketed._score is plain._score  # config-shared program
@@ -93,6 +96,7 @@ def test_au_face_scorer_buckets_bounded_and_exact():
 
 
 def test_au_patch_scorer_buckets_bounded_and_exact():
+    reset_score_jit_cache()  # compile counts must not see other tests' programs
     params, bn_state = au_patch_classifier_init(jax.random.PRNGKey(1), hidden_dim=8, lstm_hidden=4)
     kw = dict(compute_dtype=jnp.float32)
     plain = AUPatchScorer(params, bn_state, **kw)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_deepfake_detection_tpu.models.heads import arcface_init, xception_lstm_init
-from multimodal_deepfake_detection_tpu.models.serve import AudioScorer, VisualScorer
+from multimodal_deepfake_detection_tpu.models.serve import AudioScorer, VisualScorer, reset_score_jit_cache
 from multimodal_deepfake_detection_tpu.serving import (
     AUPatchAdapter,
     AudioAdapter,
@@ -199,6 +199,7 @@ def _post(url, payload, npz=False, timeout=120):
 
 
 def test_visual_daemon_http_e2e_bounded_compiles():
+    reset_score_jit_cache()  # compile counts must not see other tests' programs
     params, bn_state = xception_lstm_init(jax.random.PRNGKey(0), 8)
     params["arcface"] = arcface_init(jax.random.PRNGKey(10), 8, 2)
     kw = dict(compute_dtype=jnp.float32, use_pallas=False)
@@ -242,6 +243,7 @@ def test_visual_daemon_http_e2e_bounded_compiles():
 
 
 def test_daemon_warmup_precompiles_the_grid():
+    reset_score_jit_cache()  # compile counts must not see other tests' programs
     params, bn_state = xception_lstm_init(jax.random.PRNGKey(1), 8)
     params["arcface"] = arcface_init(jax.random.PRNGKey(11), 8, 2)
     scorer = VisualScorer(
