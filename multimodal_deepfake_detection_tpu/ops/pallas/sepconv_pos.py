@@ -272,7 +272,18 @@ def pack_middle_block_q(qblock):
     dws, pws, sws, sins, sdqs, bs = [], [], [], [], [], []
     for u in qblock["units"]:
         d = u["depthwise"]
-        w = d["w_q"].astype(jnp.float32) * d["s_w"] if "w_q" in d else d["w"].astype(jnp.float32)
+        if "w_q" in d:
+            w = d["w_q"].astype(jnp.float32) * d["s_w"]
+            if "s_dq" in d:
+                # channel-folded depthwise node (act_scales="channel"):
+                # w_q*s_w reconstructs the FOLDED weight w*s_fold[c] — undo
+                # the output-axis fold (s_fold = s_in/s_dq) to recover the
+                # true fp taps the kernel applies to unquantized activations.
+                # (Round-5 bug: without this, every channel's tap was off by
+                # its fold factor — feature cos 0.11 vs the XLA int8 path.)
+                w = w * (d["s_dq"] / jnp.asarray(d["s_in"], jnp.float32))
+        else:
+            w = d["w"].astype(jnp.float32)
         dws.append(w[:, :, 0, :].reshape(9, w.shape[-1]))
         p = u["pointwise"]
         C = p["w_q"].shape[2]

@@ -373,9 +373,15 @@ def train_au_face_micro(workdir, *, epochs=10):
         os.path.join(workdir, "jf_v"), os.path.join(workdir, "jf_a"),
         n_per_class=4, frames=3, n_aus=3, face_size=24, patch_size=16, seed=0,
     )
+    # 24/24 held-out clips: the logits head is an UNGRADIENTED readout, so
+    # its AUC never fully saturates and borderline clips are dense — at
+    # 12/12 the AUC granularity (1 pair flip = 1/144 = 0.0069) exceeds the
+    # 0.005 dAUC bound, making the test a coin flip on which machine's
+    # 5e-4 score drift lands where (measured r5: TPU refine=1 flipped two
+    # pairs). 24/24 puts one flip at 0.0017 so the bound spans ~3 flips.
     vt, at = make_joint_tree(
         os.path.join(workdir, "jt_v"), os.path.join(workdir, "jt_a"),
-        n_per_class=12, frames=3, n_aus=3, face_size=24, patch_size=16, seed=7,
+        n_per_class=24, frames=3, n_aus=3, face_size=24, patch_size=16, seed=7,
     )
     config = train_au_face.Config(
         video_root=v,
@@ -435,3 +441,6 @@ def test_au_face_quant_dauc_trained(au_face_trained):
         s_q = np.asarray(q.score(test_v, test_a), np.float64)
         dauc = abs(_auc(test_y, orient(s_q)) - auc_fp)
         assert dauc <= DAUC_TOL, f"au_face w8a8 refine={refine}: dAUC {dauc} (fp {auc_fp})"
+        # pin the raw per-clip drift too: an ungradiented readout's AUC is a
+        # coarse statistic, the score drift is the direct quantization signal
+        assert np.max(np.abs(s_q - s_fp)) <= 0.02, "au_face per-clip score drift"
